@@ -1,0 +1,185 @@
+"""Dense Gauss-Newton solver — the parity path.
+
+Reproduces the reference's solver-layer semantics (main.m:396-497,567-628)
+on one device:
+
+- weights P = diag(1/sigma^2) from Meas_std (+ optional distinct y sigma,
+  interleaved x,y — main.m:396-405);
+- normal equations N = A'PA, u = A'Pw over the conditioned (q-space) design
+  matrix;
+- free-network datum via the bordered KKT system [N G; G' 0]
+  (main.m:428-440) when Inner_Constraints is set;
+- convergence on the L1 norm of the DE-SCALED correction
+  (main.m:458-487, functions/sumabs.m), iteration cap main.m:490-493;
+- statistics from the LAST iteration's linearization: v = A*delta + w
+  (main.m:569), sigma0^2 = v'Pv/(n-u) EXCLUDING the 7 constraint
+  pseudo-observations (main.m:601), covariance de-scaling asymmetry (delta +
+  Cx diagonal only, main.m:458-482), correlations from the pre-descale Cx
+  (main.m:447-456).
+
+The per-iteration work (linearize + assemble + solve) is one jitted device
+call; only the scalar convergence metric crosses back to the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fish_eye_bundle_adjustment_tpu.io.problem import BAProblem
+from fish_eye_bundle_adjustment_tpu.solver.constraints import (
+    NUM_INNER_CONSTRAINTS,
+    build_G,
+    validate_inner_constraints,
+)
+from fish_eye_bundle_adjustment_tpu.solver.linearize import Linearizer
+from fish_eye_bundle_adjustment_tpu.utils.layout import ParamLayout
+
+
+@dataclasses.dataclass
+class DenseResult:
+    problem: BAProblem
+    layout: ParamLayout
+    x: np.ndarray  # (u,) converged unknowns (unscaled)
+    iterations: int
+    converged: bool
+    delta_history: List[float]  # L1(delta) per iteration
+    x_history: np.ndarray  # (iterations+1, u) including initial
+    v: np.ndarray  # (n,) linearized residuals at convergence
+    sigma02: float
+    rms_x: float
+    rms_y: float
+    rms: float
+    Cx: Optional[np.ndarray]  # (u,u) sigma02-scaled, diag de-scaled
+    std: Optional[np.ndarray]  # (u,)
+    Cx_q: Optional[np.ndarray]  # pre-descale, pre-sigma02 (for correlations)
+    elapsed_s: float
+
+    @property
+    def names(self):
+        return self.layout.names()
+
+    def correlation(self) -> np.ndarray:
+        """Full correlation matrix (main.m:447-456) — computed on demand."""
+        d = np.sqrt(np.diag(self.Cx_q))
+        return self.Cx_q / np.outer(d, d)
+
+
+def solve_dense(
+    problem: BAProblem,
+    compute_covariance: bool = True,
+    keep_history: bool = True,
+) -> DenseResult:
+    settings = problem.settings
+    layout = ParamLayout(problem)
+    lin = Linearizer(problem, layout)
+    u = layout.u
+    n = problem.n
+    use_ic = settings.inner_constraints
+    if use_ic:
+        validate_inner_constraints(layout)
+
+    scale = jnp.asarray(layout.scale)
+    p_diag = jnp.asarray(problem.obs_weights().reshape(-1))  # (n,)
+
+    def _normal_eq(x):
+        q = x * scale
+        A, w = lin.dense_design(q)
+        N = A.T @ (p_diag[:, None] * A)
+        uvec = A.T @ (p_diag * w)
+        return q, A, w, N, uvec
+
+    def _delta(q, N, uvec):
+        if use_ic:
+            G = build_G(layout, q)
+            d = NUM_INNER_CONSTRAINTS
+            KKT = jnp.block([[N, G], [G.T, jnp.zeros((d, d), N.dtype)]])
+            rhs = jnp.concatenate([uvec, jnp.zeros((d,), N.dtype)])
+            delta_q = -jnp.linalg.solve(KKT, rhs)[:u]
+        else:
+            delta_q = -jnp.linalg.solve(N, uvec)
+        return delta_q
+
+    @jax.jit
+    def step(x):
+        q, A, w, N, uvec = _normal_eq(x)
+        delta_q = _delta(q, N, uvec)
+        delta_x = delta_q / scale
+        v = A @ delta_q + w  # linearized residual (main.m:569)
+        return x + delta_x, jnp.sum(jnp.abs(delta_x)), v, delta_q
+
+    @jax.jit
+    def covariance(x):
+        """Cx from the inverse of the (bordered) normal matrix at x —
+        the reference computes this inside the loop (main.m:428-443); we
+        evaluate it once, at the final iteration's linearization point."""
+        q, _, _, N, _ = _normal_eq(x)
+        if use_ic:
+            G = build_G(layout, q)
+            d = NUM_INNER_CONSTRAINTS
+            KKT = jnp.block([[N, G], [G.T, jnp.zeros((d, d), N.dtype)]])
+            return jnp.linalg.inv(KKT)[:u, :u]
+        return jnp.linalg.inv(N)
+
+    t0 = time.perf_counter()
+    x = jnp.asarray(layout.initial())
+    history = [np.asarray(x)] if keep_history else []
+    delta_history: List[float] = []
+    v = jnp.zeros((n,))
+    converged = False
+    count = 0
+    x_prev = x
+    while True:
+        count += 1
+        x_prev = x
+        x, deltasum, v, _ = step(x)
+        deltasum = float(deltasum)
+        delta_history.append(deltasum)
+        if keep_history:
+            history.append(np.asarray(x))
+        if deltasum <= settings.threshold:
+            converged = True
+            break
+        if count >= settings.iteration_cap:
+            break
+    elapsed = time.perf_counter() - t0
+
+    v_np = np.asarray(v)
+    # sigma0^2 redundancy EXCLUDES the 7 constraints (main.m:601)
+    sigma02 = float(v_np @ (np.asarray(p_diag) * v_np) / (n - u))
+    rms_x = float(np.sqrt(np.mean(v_np[0::2] ** 2)))
+    rms_y = float(np.sqrt(np.mean(v_np[1::2] ** 2)))
+
+    Cx = std = Cx_q = None
+    if compute_covariance:
+        Cx_q = np.asarray(covariance(x_prev))
+        # de-scale the diagonal only (main.m:458-482), then apply sigma02
+        # to the whole matrix (main.m:602)
+        Cx = Cx_q.copy()
+        np.fill_diagonal(Cx, np.diag(Cx_q) / layout.scale**2)
+        Cx = sigma02 * Cx
+        std = np.sqrt(np.maximum(np.diag(Cx), 0.0))
+
+    return DenseResult(
+        problem=problem,
+        layout=layout,
+        x=np.asarray(x),
+        iterations=count,
+        converged=converged,
+        delta_history=delta_history,
+        x_history=np.asarray(history) if keep_history else np.zeros((0, u)),
+        v=v_np,
+        sigma02=sigma02,
+        rms_x=rms_x,
+        rms_y=rms_y,
+        rms=float(np.sqrt(rms_x**2 + rms_y**2)),
+        Cx=Cx,
+        std=std,
+        Cx_q=Cx_q,
+        elapsed_s=elapsed,
+    )
