@@ -1,0 +1,79 @@
+"""Schur-complement solver tests: parity vs the dense path on cam0, ground
+truth recovery on synthetic blocks, every projection model."""
+
+import numpy as np
+import pytest
+
+from fish_eye_bundle_adjustment_tpu.solver.dense import solve_dense
+from fish_eye_bundle_adjustment_tpu.solver.schur import SchurOptions, solve_schur
+from fish_eye_bundle_adjustment_tpu.synth import make_block, write_block
+
+
+class TestCam0Parity:
+    """The matrix-free projected Schur-PCG must reproduce the dense bordered
+    KKT solution (same math, different factorization order)."""
+
+    def test_matches_dense(self, cam0_problem):
+        rd = solve_dense(cam0_problem, compute_covariance=False)
+        rs = solve_schur(cam0_problem)
+        assert rs.converged and rd.converged
+        assert rs.iterations == rd.iterations
+        np.testing.assert_allclose(rs.x, rd.x, atol=1e-8)
+        assert abs(rs.sigma02 - rd.sigma02) < 1e-10
+        assert abs(rs.rms - rd.rms) < 1e-12
+
+
+class TestSynthetic:
+    @pytest.fixture(scope="class")
+    def block(self):
+        return make_block(n_img=25, n_pts=800, model="fisheye", seed=3)
+
+    def test_convergence_and_noise_recovery(self, block):
+        res = solve_schur(block.problem)
+        assert res.converged
+        # sigma02 ~ 1 when the noise model matches Meas_std
+        assert 0.8 < res.sigma02 < 1.2
+
+    def test_improves_on_initialization(self, block):
+        p = block.problem
+        res = solve_schur(p)
+        lay = res.layout
+        est = res.x[lay.tie_offset :].reshape(-1, 3)
+        init = p.cnt_xyz[p.tie_target_idx]
+        truth = block.true_points[p.tie_target_idx]
+        err_est = np.linalg.norm(est - truth, axis=1)
+        err_init = np.linalg.norm(init - truth, axis=1)
+        assert np.median(err_est) < 0.5 * np.median(err_init)
+
+    @pytest.mark.parametrize("model", ["pinhole", "equisolid", "orthographic", "stereographic"])
+    def test_all_models(self, model):
+        blk = make_block(n_img=16, n_pts=400, model=model, seed=7)
+        res = solve_schur(blk.problem)
+        assert res.converged, model
+        assert 0.6 < res.sigma02 < 1.5, model
+
+    def test_control_point_datum(self):
+        """Fixed-control datum (no inner constraints) also solves."""
+        blk = make_block(
+            n_img=16, n_pts=400, control_frac=0.1, seed=9,
+            settings_overrides={"inner_constraints": False},
+        )
+        assert not blk.problem.settings.inner_constraints
+        res = solve_schur(blk.problem)
+        assert res.converged
+
+    def test_block_roundtrip_through_files(self, tmp_path):
+        """write_block -> io parsers -> same problem (data contract check)."""
+        from fish_eye_bundle_adjustment_tpu.io.problem import load_problem
+
+        blk = make_block(n_img=9, n_pts=200, seed=11)
+        write_block(blk, tmp_path)
+        prob2 = load_problem(tmp_path)
+        p1 = blk.problem
+        assert prob2.n_obs == p1.n_obs
+        assert prob2.n_img == p1.n_img
+        assert prob2.n_tie == p1.n_tie
+        np.testing.assert_allclose(prob2.obs_xy, p1.obs_xy, atol=1e-5)
+        np.testing.assert_allclose(prob2.eop0, p1.eop0, atol=1e-9)
+        res = solve_schur(prob2)
+        assert res.converged
