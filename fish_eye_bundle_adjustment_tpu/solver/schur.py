@@ -24,34 +24,85 @@ Free-network datum (Inner_Constraints): CG runs projected onto
 null(G^T) — the CG solution of the projected system coincides with the
 bordered KKT solution of the dense path (tested against it on cam0).
 
-Design targets (BASELINE.md): 1k-image / 100k-point synthetic blocks on one
-chip; the same matvec distributes over a device mesh by sharding the
-observation axis (see parallel/).
+Distribution: all per-observation work is embarrassingly parallel and all
+coupling flows through the segment sums, so the same kernel runs sharded
+over an ``obs`` mesh axis by injecting ``reduce_fn = psum`` after every
+segment sum (see parallel/dist_schur.py).  Per-observation data travels as
+an explicit ObsData pytree so shard_map can shard it.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from fish_eye_bundle_adjustment_tpu.io.problem import BAProblem
+from fish_eye_bundle_adjustment_tpu.models.projection import (
+    MODEL_IDS,
+    obs_jacobian_blocks,
+)
 from fish_eye_bundle_adjustment_tpu.solver.constraints import (
     build_G,
     validate_inner_constraints,
 )
 from fish_eye_bundle_adjustment_tpu.solver.dense import DenseResult
-from fish_eye_bundle_adjustment_tpu.solver.linearize import Linearizer
 from fish_eye_bundle_adjustment_tpu.utils.layout import ParamLayout
 
 
 def _segsum(vals, idx, num):
     return jnp.zeros((num,) + vals.shape[1:], vals.dtype).at[idx].add(vals)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ObsData:
+    """Per-observation arrays — the shardable axis of the problem."""
+
+    img: jax.Array  # (n,) int32 image index
+    cam: jax.Array  # (n,) int32 camera index
+    pt: jax.Array  # (n,) int32 target index (into the full point table)
+    tie: jax.Array  # (n,) int32 tie slot, == n_tie for control obs
+    xy: jax.Array  # (n, 2) measured coordinates
+    ydir: jax.Array  # (n,)
+    iop_scale: jax.Array  # (n, 3+nk+2) distortion conditioning per obs
+    W: jax.Array  # (n, 2) weights (0 on padding rows)
+
+    @staticmethod
+    def from_problem(problem: BAProblem, layout: ParamLayout, dtype=np.float64,
+                     pad_to: Optional[int] = None) -> "ObsData":
+        n = problem.n_obs
+        pad = (pad_to or n) - n
+        tie = problem.target_tie_slot[problem.obs_pt]
+        tie = np.where(tie >= 0, tie, layout.n_tie).astype(np.int32)
+
+        def _pad(a, fill=0):
+            if pad == 0:
+                return a
+            width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, width, constant_values=fill)
+
+        W = problem.obs_weights().astype(dtype)
+        return ObsData(
+            img=jnp.asarray(_pad(problem.obs_img)),
+            cam=jnp.asarray(_pad(problem.obs_cam)),
+            pt=jnp.asarray(_pad(problem.obs_pt)),
+            tie=jnp.asarray(_pad(tie, fill=layout.n_tie)),
+            xy=jnp.asarray(_pad(problem.obs_xy.astype(dtype))),
+            ydir=jnp.asarray(_pad(problem.y_dir[problem.obs_cam].astype(dtype), fill=1)),
+            iop_scale=jnp.asarray(
+                _pad(layout.iop_scale_full[problem.obs_cam].astype(dtype), fill=1)
+            ),
+            W=jnp.asarray(_pad(W)),  # zero weight rows: padding contributes nothing
+        )
+
+    @property
+    def n(self):
+        return self.img.shape[0]
 
 
 @dataclasses.dataclass
@@ -63,53 +114,68 @@ class SchurOptions:
     dtype: np.dtype = np.float64
 
 
-class SchurOperator:
-    """Per-iteration linearized system in block form (all jit-traceable)."""
+class SchurKernel:
+    """Static problem structure + the block-sparse linear algebra.
 
-    def __init__(self, lin: Linearizer, layout: ParamLayout, weights, opts: SchurOptions):
-        self.lin = lin
+    `reduce_fn` is applied after every observation-axis segment sum —
+    identity on one device, ``lax.psum(_, 'obs')`` under shard_map.
+    """
+
+    def __init__(self, layout: ParamLayout, opts: SchurOptions,
+                 reduce_fn: Callable = lambda x: x):
         self.layout = layout
         self.opts = opts
-        self.W = weights  # (n_obs, 2)
+        self.reduce = reduce_fn
+        self.model_id = MODEL_IDS[layout.problem.settings.model]
+        self.nk = layout.nk
         self.n_img = layout.n_img
         self.n_cam = layout.n_cam
         self.n_tie = layout.n_tie
         self.ne = layout.n_eop
         self.ni = layout.n_iop
-        self.nc = layout.eop_size + layout.iop_size  # reduced-system size
+        self.nc = layout.eop_size + layout.iop_size
 
-        p = lin.problem
-        self.obs_img = jnp.asarray(p.obs_img)
-        self.obs_cam = jnp.asarray(p.obs_cam)
-        # tie slot per obs; control observations parked on a dummy slot n_tie
-        tie = p.target_tie_slot[p.obs_pt]
-        self.obs_tie = jnp.asarray(np.where(tie >= 0, tie, layout.n_tie))
+    # -- linearization ---------------------------------------------------
+    def blocks(self, q, obs: ObsData):
+        """Residual + Jacobian blocks for (a shard of) the observations."""
+        layout = self.layout
+        eop, iop, pts = layout.unpack_scaled(q)
+        eop_o = eop[obs.img]
+        iop_o = iop[obs.cam]
+        xyz_o = pts[obs.pt]
 
-    # -- per-iteration factorization ------------------------------------
-    def linearize(self, q):
-        r, Je, Ji, Jp = self.lin.blocks(q)
-        Je = Je[:, :, jnp.asarray(self.layout.eop_cols)] if self.ne else Je[:, :, :0]
-        Ji = Ji[:, :, jnp.asarray(self.layout.iop_cols)] if self.ni else Ji[:, :, :0]
-        W = self.W
+        fn = lambda e, i, x, oxy, yd: obs_jacobian_blocks(
+            e, i, x, oxy, yd, self.model_id, self.nk
+        )
+        r, Je, Ji, Jp = jax.vmap(fn)(eop_o, iop_o, xyz_o, obs.xy, obs.ydir)
+        Je = Je[:, :, jnp.asarray(layout.eop_cols)] if self.ne else Je[:, :, :0]
+        Ji = (
+            (Ji / obs.iop_scale[:, None, :])[:, :, jnp.asarray(layout.iop_cols)]
+            if self.ni
+            else Ji[:, :, :0]
+        )
+        Jp = Jp * (obs.tie < self.n_tie)[:, None, None]
+        return r, Je, Ji, Jp
+
+    def linearize(self, q, obs: ObsData) -> "SchurFactors":
+        r, Je, Ji, Jp = self.blocks(q, obs)
         nt = self.n_tie
-
-        # Hpp (+1 dummy slot for control obs) and its inverse
-        Hpp = _segsum(
-            jnp.einsum("nip,ni,niq->npq", Jp, W, Jp), self.obs_tie, nt + 1
+        Hpp = self.reduce(
+            _segsum(jnp.einsum("nip,ni,niq->npq", Jp, obs.W, Jp), obs.tie, nt + 1)
         )[:nt]
         lam = self.opts.point_damping
         Hpp = Hpp + (lam + 1e-300) * jnp.eye(3, dtype=Hpp.dtype)
         Hpp_inv = jnp.linalg.inv(Hpp) if nt else Hpp
-
-        return SchurFactors(self, r, Je, Ji, Jp, Hpp_inv)
+        return SchurFactors(self, obs, r, Je, Ji, Jp, Hpp_inv)
 
 
 @jax.tree_util.register_pytree_node_class
 class SchurFactors:
     """One linearization point: residuals + blocks + eliminated points."""
 
-    def __init__(self, op, r, Je, Ji, Jp, Hpp_inv):
-        self.op = op
+    def __init__(self, kernel, obs, r, Je, Ji, Jp, Hpp_inv):
+        self.k = kernel
+        self.obs = obs
         self.r = r
         self.Je = Je
         self.Ji = Ji
@@ -117,88 +183,86 @@ class SchurFactors:
         self.Hpp_inv = Hpp_inv
 
     def tree_flatten(self):
-        return (self.r, self.Je, self.Ji, self.Jp, self.Hpp_inv), self.op
+        return (self.obs, self.r, self.Je, self.Ji, self.Jp, self.Hpp_inv), self.k
 
     @classmethod
-    def tree_unflatten(cls, op, leaves):
-        return cls(op, *leaves)
+    def tree_unflatten(cls, kernel, leaves):
+        return cls(kernel, *leaves)
 
     # -- building blocks -------------------------------------------------
     def _split(self, vc):
-        op = self.op
-        vp_img = vc[: op.layout.eop_size].reshape(op.n_img, op.ne)
-        vi_cam = vc[op.layout.eop_size :].reshape(op.n_cam, op.ni)
+        k = self.k
+        vp_img = vc[: k.layout.eop_size].reshape(k.n_img, k.ne)
+        vi_cam = vc[k.layout.eop_size :].reshape(k.n_cam, k.ni)
         return vp_img, vi_cam
 
     def _cam_apply(self, vc):
-        """a = C vc per observation, C = [Je | Ji]. -> (n_obs, 2)"""
-        op = self.op
+        """a = C vc per observation, C = [Je | Ji]. -> (n_obs_local, 2)"""
+        k = self.k
         vp_img, vi_cam = self._split(vc)
         a = jnp.zeros_like(self.r)
-        if op.ne:
-            a = a + jnp.einsum("nij,nj->ni", self.Je, vp_img[op.obs_img])
-        if op.ni:
-            a = a + jnp.einsum("nij,nj->ni", self.Ji, vi_cam[op.obs_cam])
+        if k.ne:
+            a = a + jnp.einsum("nij,nj->ni", self.Je, vp_img[self.obs.img])
+        if k.ni:
+            a = a + jnp.einsum("nij,nj->ni", self.Ji, vi_cam[self.obs.cam])
         return a
 
     def _cam_applyT(self, aw):
-        """C^T aw aggregated into the reduced vector. aw: (n_obs, 2)."""
-        op = self.op
+        """C^T aw fully reduced into the replicated camera vector."""
+        k = self.k
         parts = []
-        if op.ne:
-            u = _segsum(jnp.einsum("nij,ni->nj", self.Je, aw), op.obs_img, op.n_img)
+        if k.ne:
+            u = _segsum(jnp.einsum("nij,ni->nj", self.Je, aw), self.obs.img, k.n_img)
             parts.append(u.reshape(-1))
-        if op.ni:
-            u = _segsum(jnp.einsum("nij,ni->nj", self.Ji, aw), op.obs_cam, op.n_cam)
+        if k.ni:
+            u = _segsum(jnp.einsum("nij,ni->nj", self.Ji, aw), self.obs.cam, k.n_cam)
             parts.append(u.reshape(-1))
-        return jnp.concatenate(parts) if parts else jnp.zeros((0,), self.r.dtype)
+        out = jnp.concatenate(parts) if parts else jnp.zeros((0,), self.r.dtype)
+        return k.reduce(out)
 
     def _point_applyT(self, aw):
-        """P^T aw -> (n_tie, 3) (dummy slot dropped)."""
-        op = self.op
-        t = _segsum(jnp.einsum("nip,ni->np", self.Jp, aw), op.obs_tie, op.n_tie + 1)
-        return t[: op.n_tie]
+        """P^T aw -> (n_tie, 3), fully reduced (dummy slot dropped)."""
+        k = self.k
+        t = _segsum(jnp.einsum("nip,ni->np", self.Jp, aw), self.obs.tie, k.n_tie + 1)
+        return k.reduce(t[: k.n_tie])
 
     def _point_apply(self, vp):
-        """P vp per observation -> (n_obs, 2); control obs contribute zero."""
-        op = self.op
+        """P vp per observation; control obs contribute zero."""
         vp_ext = jnp.concatenate([vp, jnp.zeros((1, 3), vp.dtype)], axis=0)
-        return jnp.einsum("nip,np->ni", self.Jp, vp_ext[op.obs_tie])
+        return jnp.einsum("nip,np->ni", self.Jp, vp_ext[self.obs.tie])
 
     # -- Schur pieces ----------------------------------------------------
     def schur_matvec(self, vc):
         """S vc = C'WC vc - C'WP Hpp^-1 P'WC vc."""
-        op = self.op
-        W = op.W
-        a = self._cam_apply(vc)
-        aw = W * a
+        k = self.k
+        W = self.obs.W
+        aw = W * self._cam_apply(vc)
         out = self._cam_applyT(aw)
-        if op.n_tie:
+        if k.n_tie:
             t = self._point_applyT(aw)
             y = jnp.einsum("tpq,tq->tp", self.Hpp_inv, t)
-            b = W * self._point_apply(y)
-            out = out - self._cam_applyT(b)
-        if op.opts.camera_damping:
-            out = out + op.opts.camera_damping * vc
+            out = out - self._cam_applyT(W * self._point_apply(y))
+        if k.opts.camera_damping:
+            out = out + k.opts.camera_damping * vc
         return out
 
     def reduced_rhs(self):
         """gc_tilde = -(C'W r - C'WP Hpp^-1 P'W r)."""
-        op = self.op
-        rw = op.W * self.r
+        k = self.k
+        rw = self.obs.W * self.r
         g = self._cam_applyT(rw)
-        if op.n_tie:
+        if k.n_tie:
             t = self._point_applyT(rw)
             y = jnp.einsum("tpq,tq->tp", self.Hpp_inv, t)
-            g = g - self._cam_applyT(op.W * self._point_apply(y))
+            g = g - self._cam_applyT(self.obs.W * self._point_apply(y))
         return -g
 
     def back_substitute(self, dc):
         """dp = Hpp^-1 (-P'W r - P'W C dc)  -> (n_tie, 3)."""
-        op = self.op
-        if not op.n_tie:
+        k = self.k
+        if not k.n_tie:
             return jnp.zeros((0, 3), self.r.dtype)
-        rhs = -self._point_applyT(op.W * (self.r + self._cam_apply(dc)))
+        rhs = -self._point_applyT(self.obs.W * (self.r + self._cam_apply(dc)))
         return jnp.einsum("tpq,tq->tp", self.Hpp_inv, rhs)
 
     def pose_precond_blocks(self):
@@ -207,44 +271,41 @@ class SchurFactors:
         Each (image, point) pair is observed once, so the diagonal Schur
         correction Sum_o Je_o' W Jp_o Hpp^-1 Jp_o' W Je_o is one segment
         sum over observations."""
-        op = self.op
-        W = op.W
-        blocks = _segsum(
-            jnp.einsum("nip,ni,niq->npq", self.Je, W, self.Je), op.obs_img, op.n_img
-        )
-        if op.n_tie:
+        k = self.k
+        W = self.obs.W
+        blocks = jnp.einsum("nip,ni,niq->npq", self.Je, W, self.Je)
+        if k.n_tie:
             Hpi = jnp.concatenate([self.Hpp_inv, jnp.zeros((1, 3, 3), self.r.dtype)])
-            # B_o = Je_o' W Jp_o  (ne,3) ; correction = B Hpp^-1 B'
             B = jnp.einsum("nie,ni,nip->nep", self.Je, W, self.Jp)
-            corr = jnp.einsum("nep,npq,nfq->nef", B, Hpi[op.obs_tie], B)
-            blocks = blocks - _segsum(corr, op.obs_img, op.n_img)
-        if op.opts.camera_damping:
-            blocks = blocks + op.opts.camera_damping * jnp.eye(op.ne, dtype=blocks.dtype)
-        return blocks
+            blocks = blocks - jnp.einsum("nep,npq,nfq->nef", B, Hpi[self.obs.tie], B)
+        out = k.reduce(_segsum(blocks, self.obs.img, k.n_img))
+        if k.opts.camera_damping:
+            out = out + k.opts.camera_damping * jnp.eye(k.ne, dtype=out.dtype)
+        return out
 
     def iop_precond_blocks(self):
-        op = self.op
-        W = op.W
-        blocks = _segsum(
-            jnp.einsum("nip,ni,niq->npq", self.Ji, W, self.Ji), op.obs_cam, op.n_cam
+        k = self.k
+        out = k.reduce(
+            _segsum(
+                jnp.einsum("nip,ni,niq->npq", self.Ji, self.obs.W, self.Ji),
+                self.obs.cam,
+                k.n_cam,
+            )
         )
-        if op.opts.camera_damping:
-            blocks = blocks + op.opts.camera_damping * jnp.eye(op.ni, dtype=blocks.dtype)
-        return blocks
+        if k.opts.camera_damping:
+            out = out + k.opts.camera_damping * jnp.eye(k.ni, dtype=out.dtype)
+        return out
 
     def make_preconditioner(self):
-        op = self.op
+        k = self.k
         eye_reg = 1e-300
         Ms = []
-        if op.ne:
+        if k.ne:
             Pb = self.pose_precond_blocks()
-            Pb = Pb + eye_reg * jnp.eye(op.ne, dtype=Pb.dtype)
-            Pb_inv = jnp.linalg.inv(Pb)
-            Ms.append(("pose", Pb_inv))
-        if op.ni:
+            Ms.append(("pose", jnp.linalg.inv(Pb + eye_reg * jnp.eye(k.ne, dtype=Pb.dtype))))
+        if k.ni:
             Ib = self.iop_precond_blocks()
-            Ib = Ib + eye_reg * jnp.eye(op.ni, dtype=Ib.dtype)
-            Ms.append(("iop", jnp.linalg.inv(Ib)))
+            Ms.append(("iop", jnp.linalg.inv(Ib + eye_reg * jnp.eye(k.ni, dtype=Ib.dtype))))
 
         def apply(vc):
             vp_img, vi_cam = self._split(vc)
@@ -296,31 +357,10 @@ def _pcg(matvec, b, precond, project, tol, maxiter):
     return x, i, jnp.linalg.norm(r) / bnorm
 
 
-def solve_schur(
-    problem: BAProblem,
-    options: Optional[SchurOptions] = None,
-    keep_history: bool = True,
-) -> DenseResult:
-    """Outer Gauss-Newton loop with the Schur/PCG inner solve.
+def make_projection_builder(layout, nc, use_ic: bool):
+    """Null(G^T) projector factory for free-network CG."""
 
-    Matches the reference's convergence conventions (L1 of the de-scaled
-    correction vs Threshold_Value, Iteration_Cap). Covariance is not
-    materialized at scale — report-sized runs use solve_dense.
-    """
-    opts = options or SchurOptions()
-    settings = problem.settings
-    layout = ParamLayout(problem)
-    lin = Linearizer(problem, layout)
-    use_ic = settings.inner_constraints
-    if use_ic:
-        validate_inner_constraints(layout)
-
-    weights = jnp.asarray(problem.obs_weights().astype(opts.dtype))
-    op = SchurOperator(lin, layout, weights, opts)
-    scale = jnp.asarray(layout.scale)
-    nc = op.nc
-
-    def _project_builder(q):
+    def build(q):
         if not use_ic:
             return lambda v: v
         G = build_G(layout, q)[:nc]  # G is zero on tie rows
@@ -331,11 +371,21 @@ def solve_schur(
 
         return project
 
-    @jax.jit
-    def step(x):
+    return build
+
+
+def schur_step_fn(kernel: SchurKernel, layout: ParamLayout, use_ic: bool):
+    """One Gauss-Newton step as a pure function of (x, obs) — the unit the
+    single-device path jits directly and the distributed path wraps in
+    shard_map."""
+    opts = kernel.opts
+    scale = jnp.asarray(layout.scale)
+    project_builder = make_projection_builder(layout, kernel.nc, use_ic)
+
+    def step(x, obs: ObsData):
         q = x * scale
-        fac = op.linearize(q)
-        project = _project_builder(q)
+        fac = kernel.linearize(q, obs)
+        project = project_builder(q)
         precond = fac.make_preconditioner()
         rhs = fac.reduced_rhs()
         dc, cg_iters, cg_rel = _pcg(
@@ -344,36 +394,27 @@ def solve_schur(
         dp = fac.back_substitute(dc)
         delta_q = jnp.concatenate([dc, dp.reshape(-1)])
         delta_x = delta_q / scale
-        v = (fac._cam_apply(dc) + fac._point_apply(dp) + fac.r).reshape(-1)
-        return x + delta_x, jnp.sum(jnp.abs(delta_x)), v, cg_iters, cg_rel
+        # per-shard linearized residual rows (padding rows carry W=0 but the
+        # raw residual of padded obs is bogus — mask by weight sign)
+        v_local = fac._cam_apply(dc) + fac._point_apply(dp) + fac.r
+        v_local = jnp.where(obs.W > 0, v_local, 0.0)
+        # weighted sums for sigma0^2 / RMS (global via reduce)
+        vPv = kernel.reduce(jnp.sum(v_local**2 * obs.W))
+        sum_vx2 = kernel.reduce(jnp.sum(v_local[:, 0] ** 2))
+        sum_vy2 = kernel.reduce(jnp.sum(v_local[:, 1] ** 2))
+        stats = jnp.stack([vPv, sum_vx2, sum_vy2])
+        return x + delta_x, jnp.sum(jnp.abs(delta_x)), v_local, stats, cg_iters
 
-    t0 = time.perf_counter()
-    x = jnp.asarray(layout.initial().astype(opts.dtype))
-    history = [np.asarray(x)] if keep_history else []
-    delta_history = []
-    v = jnp.zeros((problem.n,), opts.dtype)
-    converged = False
-    count = 0
-    while True:
-        count += 1
-        x, deltasum, v, cg_iters, cg_rel = step(x)
-        deltasum = float(deltasum)
-        delta_history.append(deltasum)
-        if keep_history:
-            history.append(np.asarray(x))
-        if deltasum <= settings.threshold:
-            converged = True
-            break
-        if count >= settings.iteration_cap:
-            break
-    elapsed = time.perf_counter() - t0
+    return step
 
-    v_np = np.asarray(v)
-    p_diag = problem.obs_weights().reshape(-1)
-    sigma02 = float(v_np @ (p_diag * v_np) / (problem.n - layout.u))
-    rms_x = float(np.sqrt(np.mean(v_np[0::2] ** 2)))
-    rms_y = float(np.sqrt(np.mean(v_np[1::2] ** 2)))
 
+def _finalize(problem, layout, x, history, delta_history, v_np, stats, count,
+              converged, elapsed, keep_history):
+    vPv, sx2, sy2 = (float(s) for s in stats)
+    n = problem.n
+    sigma02 = vPv / (n - layout.u)
+    rms_x = float(np.sqrt(sx2 / problem.n_obs))
+    rms_y = float(np.sqrt(sy2 / problem.n_obs))
     return DenseResult(
         problem=problem,
         layout=layout,
@@ -391,4 +432,56 @@ def solve_schur(
         std=None,
         Cx_q=None,
         elapsed_s=elapsed,
+    )
+
+
+def solve_schur(
+    problem: BAProblem,
+    options: Optional[SchurOptions] = None,
+    keep_history: bool = True,
+    x0=None,
+) -> DenseResult:
+    """Outer Gauss-Newton loop with the Schur/PCG inner solve (one device).
+
+    Matches the reference's convergence conventions (L1 of the de-scaled
+    correction vs Threshold_Value, Iteration_Cap). Covariance is not
+    materialized at scale — report-sized runs use solve_dense.
+    """
+    opts = options or SchurOptions()
+    settings = problem.settings
+    layout = ParamLayout(problem)
+    use_ic = settings.inner_constraints
+    if use_ic:
+        validate_inner_constraints(layout)
+
+    kernel = SchurKernel(layout, opts)
+    obs = ObsData.from_problem(problem, layout, dtype=opts.dtype)
+    step = jax.jit(schur_step_fn(kernel, layout, use_ic))
+
+    t0 = time.perf_counter()
+    x = jnp.asarray((layout.initial() if x0 is None else np.asarray(x0)).astype(opts.dtype))
+    history = [np.asarray(x)] if keep_history else []
+    delta_history = []
+    v_local = jnp.zeros((problem.n_obs, 2), opts.dtype)
+    stats = jnp.zeros(3)
+    converged = False
+    count = 0
+    while True:
+        count += 1
+        x, deltasum, v_local, stats, _ = step(x, obs)
+        deltasum = float(deltasum)
+        delta_history.append(deltasum)
+        if keep_history:
+            history.append(np.asarray(x))
+        if deltasum <= settings.threshold:
+            converged = True
+            break
+        if count >= settings.iteration_cap:
+            break
+    elapsed = time.perf_counter() - t0
+
+    v_np = np.asarray(v_local).reshape(-1)
+    return _finalize(
+        problem, layout, x, history, delta_history, v_np, np.asarray(stats),
+        count, converged, elapsed, keep_history,
     )
