@@ -101,7 +101,7 @@ def distortion(iop, obs_xy, nk: int):
     yb = obs_xy[1] - yp
     r2 = xb * xb + yb * yb
     # delta_r = sum_j K_j r^(2j); Horner in r^2
-    dr = jnp.zeros(())
+    dr = jnp.zeros((), dtype=r2.dtype)
     for j in range(nk - 1, -1, -1):
         dr = dr * r2 + K[j]
     dr = dr * r2

@@ -63,11 +63,19 @@ def make_distributed_step(problem: BAProblem, mesh, options: Optional[SchurOptio
 
     n_dev = int(np.prod(mesh.devices.shape))
     padded = pad_to_multiple(problem.n_obs, n_dev)
-    obs = ObsData.from_problem(problem, layout, dtype=opts.dtype, pad_to=padded)
+    order = (
+        ObsData.sort_order_by_tie(problem, layout)
+        if opts.obs_order == "tie"
+        else None
+    )
+    obs = ObsData.from_problem(
+        problem, layout, dtype=opts.dtype, pad_to=padded, order=order
+    )
     obs = shard_obs(obs, mesh)
 
     kernel = SchurKernel(
-        layout, opts, reduce_fn=partial(jax.lax.psum, axis_name=OBS_AXIS)
+        layout, opts, reduce_fn=partial(jax.lax.psum, axis_name=OBS_AXIS),
+        obs_order=opts.obs_order,
     )
     local_step = schur_step_fn(kernel, layout, use_ic)
 
@@ -75,12 +83,12 @@ def make_distributed_step(problem: BAProblem, mesh, options: Optional[SchurOptio
         shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(P(), jax.tree.map(lambda _: P(OBS_AXIS), obs)),
+            in_specs=(P(), jax.tree.map(lambda _: P(OBS_AXIS), obs), P()),
             out_specs=(P(), P(), P(OBS_AXIS), P(), P()),
             check_vma=False,  # replicated outputs are produced via explicit psum
         )
     )
-    return step, obs, layout
+    return step, obs, layout, order
 
 
 def solve_schur_distributed(
@@ -95,7 +103,7 @@ def solve_schur_distributed(
     opts = options or SchurOptions()
     mesh = mesh if mesh is not None else make_mesh()
     settings = problem.settings
-    step, obs, layout = make_distributed_step(problem, mesh, opts)
+    step, obs, layout, order = make_distributed_step(problem, mesh, opts)
 
     t0 = time.perf_counter()
     x = jnp.asarray((layout.initial() if x0 is None else np.asarray(x0)).astype(opts.dtype))
@@ -105,11 +113,17 @@ def solve_schur_distributed(
     stats = jnp.zeros(3)
     converged = False
     count = 0
+    delta0 = None
+    cg_tol = opts.forcing_max if opts.adaptive_forcing else opts.cg_tol
     while True:
         count += 1
-        x, deltasum, v_shard, stats, _ = step(x, obs)
+        x, deltasum, v_shard, stats, _ = step(x, obs, jnp.asarray(cg_tol, opts.dtype))
         deltasum = float(deltasum)
         delta_history.append(deltasum)
+        if opts.adaptive_forcing:
+            delta0 = delta0 or max(deltasum, 1e-300)
+            rel = deltasum / delta0
+            cg_tol = max(opts.cg_tol, min(opts.forcing_max, rel * rel))
         if keep_history:
             history.append(np.asarray(x))
         if deltasum <= settings.threshold:
@@ -119,7 +133,12 @@ def solve_schur_distributed(
             break
     elapsed = time.perf_counter() - t0
 
-    v_np = np.asarray(v_shard)[: problem.n_obs].reshape(-1)
+    v_sorted = np.asarray(v_shard)[: problem.n_obs]
+    if order is not None:
+        v_unsorted = np.empty_like(v_sorted)
+        v_unsorted[order] = v_sorted
+        v_sorted = v_unsorted
+    v_np = v_sorted.reshape(-1)
     return _finalize(
         problem, layout, x, history, delta_history, v_np, np.asarray(stats),
         count, converged, elapsed, keep_history,

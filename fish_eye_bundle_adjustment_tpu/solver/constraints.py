@@ -35,8 +35,8 @@ def _g_block(eop):
     sw, cw = jnp.sin(w), jnp.cos(w)
     tp = jnp.tan(p)
     sec = 1.0 / jnp.cos(p)
-    z = jnp.zeros(())
-    one = jnp.ones(())
+    z = jnp.zeros((), Xc.dtype)
+    one = jnp.ones((), Xc.dtype)
     return jnp.array(
         [
             [one, z, z, z, -Zc, Yc, Xc],

@@ -111,9 +111,9 @@ class ParamLayout:
         fixed input values and tie rows of points_full are overridden from x
         (BuildAwG.m:56-158 gather semantics). jittable.
         """
-        eop = jnp.asarray(self.fixed_eop)
-        iop = jnp.asarray(self.fixed_iop)
-        pts = jnp.asarray(self.fixed_points)
+        eop = jnp.asarray(self.fixed_eop, dtype=x.dtype)
+        iop = jnp.asarray(self.fixed_iop, dtype=x.dtype)
+        pts = jnp.asarray(self.fixed_points, dtype=x.dtype)
         if self.n_eop:
             block = x[: self.eop_size].reshape(self.n_img, self.n_eop)
             eop = eop.at[:, self.eop_cols].set(block)
@@ -127,7 +127,7 @@ class ParamLayout:
 
     def unpack_scaled(self, q):
         """unpack() for a q-space (conditioned) vector: x = q / scale."""
-        return self.unpack(q / jnp.asarray(self.scale))
+        return self.unpack(q / jnp.asarray(self.scale, dtype=q.dtype))
 
     # ------------------------------------------------------------------
     def names(self):

@@ -13,14 +13,27 @@ class TestCam0Parity:
     """The matrix-free projected Schur-PCG must reproduce the dense bordered
     KKT solution (same math, different factorization order)."""
 
-    def test_matches_dense(self, cam0_problem):
+    def test_matches_dense_exact_cg(self, cam0_problem):
+        """Tight CG every iteration reproduces the dense path step-for-step."""
         rd = solve_dense(cam0_problem, compute_covariance=False)
-        rs = solve_schur(cam0_problem)
+        rs = solve_schur(
+            cam0_problem, SchurOptions(adaptive_forcing=False, cg_tol=1e-10)
+        )
         assert rs.converged and rd.converged
         assert rs.iterations == rd.iterations
         np.testing.assert_allclose(rs.x, rd.x, atol=1e-8)
         assert abs(rs.sigma02 - rd.sigma02) < 1e-10
         assert abs(rs.rms - rd.rms) < 1e-12
+
+    def test_matches_dense_adaptive(self, cam0_problem):
+        """Inexact-Newton forcing (default) converges to the same solution,
+        possibly with an extra cheap outer iteration."""
+        rd = solve_dense(cam0_problem, compute_covariance=False)
+        rs = solve_schur(cam0_problem)
+        assert rs.converged
+        assert rs.iterations <= rd.iterations + 2
+        np.testing.assert_allclose(rs.x, rd.x, atol=1e-7)
+        assert abs(rs.rms - rd.rms) < 1e-10
 
 
 class TestSynthetic:
