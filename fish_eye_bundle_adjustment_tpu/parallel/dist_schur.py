@@ -43,6 +43,12 @@ from fish_eye_bundle_adjustment_tpu.solver.schur import (
     schur_step_fn,
 )
 from fish_eye_bundle_adjustment_tpu.utils.layout import ParamLayout
+from fish_eye_bundle_adjustment_tpu.utils import checkpoint as ckpt_mod
+from fish_eye_bundle_adjustment_tpu.utils.observe import (
+    IterationRecord,
+    Stopwatch,
+    check_divergence,
+)
 
 
 def shard_obs(obs: ObsData, mesh) -> ObsData:
@@ -97,6 +103,9 @@ def solve_schur_distributed(
     options: Optional[SchurOptions] = None,
     keep_history: bool = True,
     x0=None,
+    progress_fn=None,
+    checkpoint_path=None,
+    checkpoint_every: int = 1,
 ) -> DenseResult:
     """Drop-in distributed variant of solve_schur (same conventions and,
     by construction, the same arithmetic up to reduction order)."""
@@ -115,11 +124,36 @@ def solve_schur_distributed(
     count = 0
     delta0 = None
     cg_tol = opts.forcing_max if opts.adaptive_forcing else opts.cg_tol
+    # resume from a prior checkpoint when one exists (utils/checkpoint.py)
+    if checkpoint_path is not None:
+        resumed = ckpt_mod.load_checkpoint(checkpoint_path, problem)
+        if resumed is not None:
+            x = jnp.asarray(resumed.x.astype(opts.dtype))
+            count = resumed.iteration
+            delta_history = list(resumed.delta_history)
+            if delta_history:
+                delta0 = max(delta_history[0], 1e-300)
+                rel = delta_history[-1] / delta0
+                cg_tol = max(opts.cg_tol, min(opts.forcing_max, rel * rel))
+    watch = Stopwatch()
     while True:
         count += 1
         x, deltasum, v_shard, stats, _ = step(x, obs, jnp.asarray(cg_tol, opts.dtype))
         deltasum = float(deltasum)
         delta_history.append(deltasum)
+        check_divergence(count, deltasum, delta_history)
+        if progress_fn is not None:
+            progress_fn(IterationRecord(count, deltasum, watch.lap(), cg_tol))
+        if checkpoint_path is not None and count % checkpoint_every == 0:
+            ckpt_mod.save_checkpoint(
+                checkpoint_path,
+                ckpt_mod.SolverCheckpoint(
+                    x=np.asarray(x), iteration=count,
+                    delta_history=delta_history,
+                    meta={k: str(v) for k, v in
+                          ckpt_mod.problem_fingerprint(problem).items()},
+                ),
+            )
         if opts.adaptive_forcing:
             delta0 = delta0 or max(deltasum, 1e-300)
             rel = deltasum / delta0

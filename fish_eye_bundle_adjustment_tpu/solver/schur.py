@@ -42,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fish_eye_bundle_adjustment_tpu.io.problem import BAProblem
+from fish_eye_bundle_adjustment_tpu.ops.segment import DualAxisPlan
 from fish_eye_bundle_adjustment_tpu.models.projection import (
     MODEL_IDS,
     obs_jacobian_blocks,
@@ -52,6 +53,12 @@ from fish_eye_bundle_adjustment_tpu.solver.constraints import (
 )
 from fish_eye_bundle_adjustment_tpu.solver.dense import DenseResult
 from fish_eye_bundle_adjustment_tpu.utils.layout import ParamLayout
+from fish_eye_bundle_adjustment_tpu.utils import checkpoint as ckpt_mod
+from fish_eye_bundle_adjustment_tpu.utils.observe import (
+    IterationRecord,
+    Stopwatch,
+    check_divergence,
+)
 
 
 def _segsum(vals, idx, num, sorted_idx: bool = False):
@@ -100,11 +107,15 @@ class ObsData:
     ydir: jax.Array  # (n,)
     iop_scale: jax.Array  # (n, 3+nk+2) distortion conditioning per obs
     W: jax.Array  # (n, 2) weights (0 on padding rows)
+    # scatter-free reduction plan (tie-sorted primary axis + image-sorted
+    # secondary permutation); None -> scatter fallback (distributed shards)
+    plan: Optional[DualAxisPlan] = None
 
     @staticmethod
     def from_problem(problem: BAProblem, layout: ParamLayout, dtype=np.float64,
                      pad_to: Optional[int] = None,
-                     order: Optional[np.ndarray] = None) -> "ObsData":
+                     order: Optional[np.ndarray] = None,
+                     with_plan: bool = False) -> "ObsData":
         """`order` optionally permutes the observation axis (e.g. sorted by
         tie slot so point-segment sums see sorted indices — see
         sort_order_by_tie)."""
@@ -122,7 +133,17 @@ class ObsData:
             return a
 
         W = problem.obs_weights().astype(dtype)
+        plan = None
+        if with_plan:
+            if order is None:
+                raise ValueError("with_plan requires a tie-sorted order")
+            tie_p = _prep(tie, fill=layout.n_tie)
+            img_p = _prep(problem.obs_img)
+            plan = DualAxisPlan.build(
+                tie_p, layout.n_tie + 1, img_p, layout.n_img
+            )
         return ObsData(
+            plan=plan,
             img=jnp.asarray(_prep(problem.obs_img)),
             cam=jnp.asarray(_prep(problem.obs_cam)),
             pt=jnp.asarray(_prep(problem.obs_pt)),
@@ -190,7 +211,11 @@ class SchurKernel:
 
     # -- linearization ---------------------------------------------------
     def blocks(self, q, obs: ObsData):
-        """Residual + Jacobian blocks for (a shard of) the observations."""
+        """Residual + Jacobian blocks for (a shard of) the observations.
+
+        Returned split by residual row (x/y) as 2-D arrays — every array
+        that feeds a reduction stays (N, k) with k flat, which avoids the
+        pathological XLA:TPU layouts of (N, 2, k) operands."""
         layout = self.layout
         eop, iop, pts = layout.unpack_scaled(q)
         eop_o = eop[obs.img]
@@ -201,51 +226,89 @@ class SchurKernel:
             e, i, x, oxy, yd, self.model_id, self.nk
         )
         r, Je, Ji, Jp = jax.vmap(fn)(eop_o, iop_o, xyz_o, obs.xy, obs.ydir)
-        Je = Je[:, :, jnp.asarray(layout.eop_cols)] if self.ne else Je[:, :, :0]
-        Ji = (
-            (Ji / obs.iop_scale[:, None, :])[:, :, jnp.asarray(layout.iop_cols)]
-            if self.ni
-            else Ji[:, :, :0]
-        )
-        Jp = Jp * (obs.tie < self.n_tie)[:, None, None]
-        return r, Je, Ji, Jp
+        if self.ne:
+            cols = jnp.asarray(layout.eop_cols)
+            Jex, Jey = Je[:, 0, cols], Je[:, 1, cols]
+        else:
+            Jex = Jey = Je[:, 0, :0]
+        if self.ni:
+            Jis = Ji / obs.iop_scale[:, None, :]
+            cols = jnp.asarray(layout.iop_cols)
+            Jix, Jiy = Jis[:, 0, cols], Jis[:, 1, cols]
+        else:
+            Jix = Jiy = Ji[:, 0, :0]
+        live = (obs.tie < self.n_tie)[:, None]
+        Jpx = Jp[:, 0, :] * live
+        Jpy = Jp[:, 1, :] * live
+        return r[:, 0], r[:, 1], Jex, Jey, Jix, Jiy, Jpx, Jpy
 
     def linearize(self, q, obs: ObsData) -> "SchurFactors":
-        r, Je, Ji, Jp = self.blocks(q, obs)
+        rx, ry, Jex, Jey, Jix, Jiy, Jpx, Jpy = self.blocks(q, obs)
         nt = self.n_tie
-        Hpp = self.reduce(
-            _segsum(
-                jnp.einsum("nip,ni,niq->npq", Jp, obs.W, Jp),
-                obs.tie, nt + 1, sorted_idx=self.sorted_tie,
-            )
-        )[:nt]
-        lam = self.opts.point_damping
-        Hpp = Hpp + (lam + 1e-300) * jnp.eye(3, dtype=Hpp.dtype)
+        wx, wy = obs.W[:, 0], obs.W[:, 1]
+        # Hpp in symmetric 6-column form [00 01 02 11 12 22]
+        cols = []
+        for a in range(3):
+            for b in range(a, 3):
+                cols.append(wx * Jpx[:, a] * Jpx[:, b] + wy * Jpy[:, a] * Jpy[:, b])
+        sym6 = jnp.stack(cols, axis=1)  # (N, 6)
+        if obs.plan is not None:
+            Hs = self.reduce(obs.plan.primary_sum(sym6))[:nt]
+        else:
+            Hs = self.reduce(
+                _segsum(sym6, obs.tie, nt + 1, sorted_idx=self.sorted_tie)
+            )[:nt]
+        lam = self.opts.point_damping + 1e-300
+        i00, i01, i02, i11, i12, i22 = (Hs[:, j] for j in range(6))
+        Hpp = jnp.stack(
+            [
+                jnp.stack([i00 + lam, i01, i02], axis=1),
+                jnp.stack([i01, i11 + lam, i12], axis=1),
+                jnp.stack([i02, i12, i22 + lam], axis=1),
+            ],
+            axis=1,
+        )  # (nt, 3, 3)
         Hpp_inv = _inv3x3(Hpp) if nt else Hpp
-        return SchurFactors(self, obs, r, Je, Ji, Jp, Hpp_inv)
+        # row-flattened with a zero dummy row for per-observation gathers
+        Hpi_flat = jnp.concatenate(
+            [Hpp_inv.reshape(nt, 9), jnp.zeros((1, 9), Hpp_inv.dtype)], axis=0
+        )
+        return SchurFactors(
+            self, obs, rx, ry, Jex, Jey, Jix, Jiy, Jpx, Jpy, Hpi_flat
+        )
 
 
 @jax.tree_util.register_pytree_node_class
 class SchurFactors:
-    """One linearization point: residuals + blocks + eliminated points."""
+    """One linearization point: residuals + blocks + eliminated points.
 
-    def __init__(self, kernel, obs, r, Je, Ji, Jp, Hpp_inv):
+    All per-observation arrays are 2-D (N, k); per-observation vectors are
+    carried as (x, y) pairs of (N,)/(N, k) arrays."""
+
+    def __init__(self, kernel, obs, rx, ry, Jex, Jey, Jix, Jiy, Jpx, Jpy, Hpi_flat):
         self.k = kernel
         self.obs = obs
-        self.r = r
-        self.Je = Je
-        self.Ji = Ji
-        self.Jp = Jp
-        self.Hpp_inv = Hpp_inv
+        self.rx, self.ry = rx, ry
+        self.Jex, self.Jey = Jex, Jey
+        self.Jix, self.Jiy = Jix, Jiy
+        self.Jpx, self.Jpy = Jpx, Jpy
+        self.Hpi_flat = Hpi_flat  # (n_tie + 1, 9), zero dummy row
 
     def tree_flatten(self):
-        return (self.obs, self.r, self.Je, self.Ji, self.Jp, self.Hpp_inv), self.k
+        return (
+            self.obs, self.rx, self.ry, self.Jex, self.Jey, self.Jix,
+            self.Jiy, self.Jpx, self.Jpy, self.Hpi_flat,
+        ), self.k
 
     @classmethod
     def tree_unflatten(cls, kernel, leaves):
         return cls(kernel, *leaves)
 
     # -- building blocks -------------------------------------------------
+    @property
+    def _w(self):
+        return self.obs.W[:, 0], self.obs.W[:, 1]
+
     def _split(self, vc):
         k = self.k
         vp_img = vc[: k.layout.eop_size].reshape(k.n_img, k.ne)
@@ -253,62 +316,85 @@ class SchurFactors:
         return vp_img, vi_cam
 
     def _cam_apply(self, vc):
-        """a = C vc per observation, C = [Je | Ji]. -> (n_obs_local, 2)"""
+        """(ax, ay) = C vc per observation, C = [Je | Ji]."""
         k = self.k
         vp_img, vi_cam = self._split(vc)
-        a = jnp.zeros_like(self.r)
+        ax = jnp.zeros_like(self.rx)
+        ay = jnp.zeros_like(self.ry)
         if k.ne:
-            a = a + jnp.einsum("nij,nj->ni", self.Je, vp_img[self.obs.img])
+            vg = vp_img[self.obs.img]  # (N, ne) row gather
+            ax = ax + jnp.sum(self.Jex * vg, axis=1)
+            ay = ay + jnp.sum(self.Jey * vg, axis=1)
         if k.ni:
-            a = a + jnp.einsum("nij,nj->ni", self.Ji, vi_cam[self.obs.cam])
-        return a
+            if k.n_cam == 1:
+                vi = vi_cam[0]
+                ax = ax + self.Jix @ vi
+                ay = ay + self.Jiy @ vi
+            else:
+                vg = vi_cam[self.obs.cam]
+                ax = ax + jnp.sum(self.Jix * vg, axis=1)
+                ay = ay + jnp.sum(self.Jiy * vg, axis=1)
+        return ax, ay
 
-    def _cam_applyT(self, aw):
-        """C^T aw fully reduced into the replicated camera vector."""
+    def _cam_applyT(self, bx, by):
+        """C^T b fully reduced into the replicated camera vector."""
         k = self.k
         parts = []
         if k.ne:
-            u = _segsum(
-                jnp.einsum("nij,ni->nj", self.Je, aw), self.obs.img, k.n_img,
-                sorted_idx=k.sorted_img,
-            )
+            g = self.Jex * bx[:, None] + self.Jey * by[:, None]  # (N, ne)
+            if self.obs.plan is not None:
+                u = self.obs.plan.secondary_sum(g)
+            else:
+                u = _segsum(g, self.obs.img, k.n_img, sorted_idx=k.sorted_img)
             parts.append(u.reshape(-1))
         if k.ni:
-            u = _segsum(
-                jnp.einsum("nij,ni->nj", self.Ji, aw), self.obs.cam, k.n_cam,
-                sorted_idx=k.sorted_img and k.n_cam == 1,
-            )
+            g = self.Jix * bx[:, None] + self.Jiy * by[:, None]
+            if k.n_cam == 1:
+                u = jnp.sum(g, axis=0, keepdims=True)
+            else:
+                u = _segsum(g, self.obs.cam, k.n_cam)
             parts.append(u.reshape(-1))
-        out = jnp.concatenate(parts) if parts else jnp.zeros((0,), self.r.dtype)
+        out = jnp.concatenate(parts) if parts else jnp.zeros((0,), self.rx.dtype)
         return k.reduce(out)
 
-    def _point_applyT(self, aw):
-        """P^T aw -> (n_tie, 3), fully reduced (dummy slot dropped)."""
+    def _point_applyT(self, bx, by):
+        """P^T b -> (n_tie, 3), fully reduced (dummy slot dropped)."""
         k = self.k
-        t = _segsum(
-            jnp.einsum("nip,ni->np", self.Jp, aw), self.obs.tie, k.n_tie + 1,
-            sorted_idx=k.sorted_tie,
-        )
+        tp = self.Jpx * bx[:, None] + self.Jpy * by[:, None]  # (N, 3)
+        if self.obs.plan is not None:
+            t = self.obs.plan.primary_sum(tp)
+        else:
+            t = _segsum(tp, self.obs.tie, k.n_tie + 1, sorted_idx=k.sorted_tie)
         return k.reduce(t[: k.n_tie])
 
     def _point_apply(self, vp):
-        """P vp per observation; control obs contribute zero."""
+        """(px, py) = P vp per observation; control obs contribute zero."""
         vp_ext = jnp.concatenate([vp, jnp.zeros((1, 3), vp.dtype)], axis=0)
-        return jnp.einsum("nip,np->ni", self.Jp, vp_ext[self.obs.tie])
+        yg = vp_ext[self.obs.tie]  # (N, 3) row gather
+        return jnp.sum(self.Jpx * yg, axis=1), jnp.sum(self.Jpy * yg, axis=1)
+
+    def _hpp_inv_apply(self, t):
+        """y = Hpp^-1 t at tie scale: (n_tie, 3) -> (n_tie, 3)."""
+        k = self.k
+        H = self.Hpi_flat[: k.n_tie].reshape(k.n_tie, 3, 3)
+        return jnp.einsum("tpq,tq->tp", H, t)
 
     # -- Schur pieces ----------------------------------------------------
     def schur_matvec(self, vc):
         """S vc = C'WC vc - C'WP Hpp^-1 P'WC vc."""
         k = self.k
-        W = self.obs.W
-        aw = W * self._cam_apply(vc)
+        wx, wy = self._w
+        ax, ay = self._cam_apply(vc)
+        awx, awy = wx * ax, wy * ay
         if k.n_tie:
-            t = self._point_applyT(aw)
-            y = jnp.einsum("tpq,tq->tp", self.Hpp_inv, t)
+            t = self._point_applyT(awx, awy)
+            y = self._hpp_inv_apply(t)
             # fold the correction into one image-axis reduction:
             # C'(aw) - C'(W P y) = C'(aw - W P y)
-            aw = aw - W * self._point_apply(y)
-        out = self._cam_applyT(aw)
+            px, py = self._point_apply(y)
+            awx = awx - wx * px
+            awy = awy - wy * py
+        out = self._cam_applyT(awx, awy)
         if k.opts.camera_damping:
             out = out + k.opts.camera_damping * vc
         return out
@@ -316,52 +402,103 @@ class SchurFactors:
     def reduced_rhs(self):
         """gc_tilde = -(C'W r - C'WP Hpp^-1 P'W r)."""
         k = self.k
-        rw = self.obs.W * self.r
+        wx, wy = self._w
+        rwx, rwy = wx * self.rx, wy * self.ry
         if k.n_tie:
-            t = self._point_applyT(rw)
-            y = jnp.einsum("tpq,tq->tp", self.Hpp_inv, t)
-            rw = rw - self.obs.W * self._point_apply(y)
-        return -self._cam_applyT(rw)
+            t = self._point_applyT(rwx, rwy)
+            y = self._hpp_inv_apply(t)
+            px, py = self._point_apply(y)
+            rwx = rwx - wx * px
+            rwy = rwy - wy * py
+        return -self._cam_applyT(rwx, rwy)
 
     def back_substitute(self, dc):
         """dp = Hpp^-1 (-P'W r - P'W C dc)  -> (n_tie, 3)."""
         k = self.k
         if not k.n_tie:
-            return jnp.zeros((0, 3), self.r.dtype)
-        rhs = -self._point_applyT(self.obs.W * (self.r + self._cam_apply(dc)))
-        return jnp.einsum("tpq,tq->tp", self.Hpp_inv, rhs)
+            return jnp.zeros((0, 3), self.rx.dtype)
+        wx, wy = self._w
+        ax, ay = self._cam_apply(dc)
+        rhs = -self._point_applyT(wx * (self.rx + ax), wy * (self.ry + ay))
+        return self._hpp_inv_apply(rhs)
 
     def pose_precond_blocks(self):
         """Exact Schur-Jacobi diagonal: per-image (ne,ne) blocks of S.
 
         Each (image, point) pair is observed once, so the diagonal Schur
         correction Sum_o Je_o' W Jp_o Hpp^-1 Jp_o' W Je_o is one segment
-        sum over observations."""
+        sum over observations.  Assembled in symmetric-column form (N, 21)
+        to keep reduction operands 2-D."""
         k = self.k
-        W = self.obs.W
-        blocks = jnp.einsum("nip,ni,niq->npq", self.Je, W, self.Je)
+        ne = k.ne
+        wx, wy = self._w
+        pairs = [(e, f) for e in range(ne) for f in range(e, ne)]
+        cols = [
+            wx * self.Jex[:, e] * self.Jex[:, f]
+            + wy * self.Jey[:, e] * self.Jey[:, f]
+            for e, f in pairs
+        ]
         if k.n_tie:
-            Hpi = jnp.concatenate([self.Hpp_inv, jnp.zeros((1, 3, 3), self.r.dtype)])
-            B = jnp.einsum("nie,ni,nip->nep", self.Je, W, self.Jp)
-            blocks = blocks - jnp.einsum("nep,npq,nfq->nef", B, Hpi[self.obs.tie], B)
-        out = k.reduce(
-            _segsum(blocks, self.obs.img, k.n_img, sorted_idx=k.sorted_img)
-        )
+            Hg = self.Hpi_flat[self.obs.tie]  # (N, 9) row gather
+            # B[e, p] = (Je' W Jp)[e, p] per observation
+            B = [
+                [
+                    wx * self.Jex[:, e] * self.Jpx[:, p]
+                    + wy * self.Jey[:, e] * self.Jpy[:, p]
+                    for p in range(3)
+                ]
+                for e in range(ne)
+            ]
+            # C[e, q] = sum_p B[e, p] H[p, q]
+            C = [
+                [
+                    sum(B[e][p] * Hg[:, 3 * p + qq] for p in range(3))
+                    for qq in range(3)
+                ]
+                for e in range(ne)
+            ]
+            for idx, (e, f) in enumerate(pairs):
+                corr = sum(C[e][q] * B[f][q] for q in range(3))
+                cols[idx] = cols[idx] - corr
+        sym = jnp.stack(cols, axis=1)  # (N, ne(ne+1)/2)
+        if self.obs.plan is not None:
+            out_sym = self.obs.plan.secondary_sum(sym)
+        else:
+            out_sym = _segsum(sym, self.obs.img, k.n_img, sorted_idx=k.sorted_img)
+        out_sym = k.reduce(out_sym)
+        # expand symmetric columns to (n_img, ne, ne)
+        out = jnp.zeros((k.n_img, ne, ne), out_sym.dtype)
+        for idx, (e, f) in enumerate(pairs):
+            out = out.at[:, e, f].set(out_sym[:, idx])
+            if e != f:
+                out = out.at[:, f, e].set(out_sym[:, idx])
         if k.opts.camera_damping:
-            out = out + k.opts.camera_damping * jnp.eye(k.ne, dtype=out.dtype)
+            out = out + k.opts.camera_damping * jnp.eye(ne, dtype=out.dtype)
         return out
 
     def iop_precond_blocks(self):
         k = self.k
-        out = k.reduce(
-            _segsum(
-                jnp.einsum("nip,ni,niq->npq", self.Ji, self.obs.W, self.Ji),
-                self.obs.cam,
-                k.n_cam,
-            )
-        )
+        ni = k.ni
+        wx, wy = self._w
+        pairs = [(e, f) for e in range(ni) for f in range(e, ni)]
+        cols = [
+            wx * self.Jix[:, e] * self.Jix[:, f]
+            + wy * self.Jiy[:, e] * self.Jiy[:, f]
+            for e, f in pairs
+        ]
+        sym = jnp.stack(cols, axis=1)
+        if k.n_cam == 1:
+            out_sym = jnp.sum(sym, axis=0, keepdims=True)
+        else:
+            out_sym = _segsum(sym, self.obs.cam, k.n_cam)
+        out_sym = k.reduce(out_sym)
+        out = jnp.zeros((k.n_cam, ni, ni), out_sym.dtype)
+        for idx, (e, f) in enumerate(pairs):
+            out = out.at[:, e, f].set(out_sym[:, idx])
+            if e != f:
+                out = out.at[:, f, e].set(out_sym[:, idx])
         if k.opts.camera_damping:
-            out = out + k.opts.camera_damping * jnp.eye(k.ni, dtype=out.dtype)
+            out = out + k.opts.camera_damping * jnp.eye(ni, dtype=out.dtype)
         return out
 
     def make_preconditioner(self):
@@ -464,13 +601,17 @@ def schur_step_fn(kernel: SchurKernel, layout: ParamLayout, use_ic: bool):
         delta_x = delta_q / scale
         # per-shard linearized residual rows (padding rows carry W=0 but the
         # raw residual of padded obs is bogus — mask by weight sign)
-        v_local = fac._cam_apply(dc) + fac._point_apply(dp) + fac.r
-        v_local = jnp.where(obs.W > 0, v_local, 0.0)
+        ax, ay = fac._cam_apply(dc)
+        px, py = fac._point_apply(dp)
+        wx, wy = obs.W[:, 0], obs.W[:, 1]
+        vx = jnp.where(wx > 0, ax + px + fac.rx, 0.0)
+        vy = jnp.where(wy > 0, ay + py + fac.ry, 0.0)
         # weighted sums for sigma0^2 / RMS (global via reduce)
-        vPv = kernel.reduce(jnp.sum(v_local**2 * obs.W))
-        sum_vx2 = kernel.reduce(jnp.sum(v_local[:, 0] ** 2))
-        sum_vy2 = kernel.reduce(jnp.sum(v_local[:, 1] ** 2))
+        vPv = kernel.reduce(jnp.sum(vx * vx * wx + vy * vy * wy))
+        sum_vx2 = kernel.reduce(jnp.sum(vx * vx))
+        sum_vy2 = kernel.reduce(jnp.sum(vy * vy))
         stats = jnp.stack([vPv, sum_vx2, sum_vy2])
+        v_local = jnp.stack([vx, vy], axis=1)
         return x + delta_x, jnp.sum(jnp.abs(delta_x)), v_local, stats, cg_iters
 
     return step
@@ -508,6 +649,9 @@ def solve_schur(
     options: Optional[SchurOptions] = None,
     keep_history: bool = True,
     x0=None,
+    progress_fn=None,
+    checkpoint_path=None,
+    checkpoint_every: int = 1,
 ) -> DenseResult:
     """Outer Gauss-Newton loop with the Schur/PCG inner solve (one device).
 
@@ -528,7 +672,10 @@ def solve_schur(
         if opts.obs_order == "tie"
         else None  # problem order is image-major already ("img")
     )
-    obs = ObsData.from_problem(problem, layout, dtype=opts.dtype, order=order)
+    obs = ObsData.from_problem(
+        problem, layout, dtype=opts.dtype, order=order,
+        with_plan=order is not None,
+    )
     step = jax.jit(schur_step_fn(kernel, layout, use_ic))
 
     t0 = time.perf_counter()
@@ -541,11 +688,36 @@ def solve_schur(
     count = 0
     delta0 = None
     cg_tol = opts.forcing_max if opts.adaptive_forcing else opts.cg_tol
+    # resume from a prior checkpoint when one exists (utils/checkpoint.py)
+    if checkpoint_path is not None:
+        resumed = ckpt_mod.load_checkpoint(checkpoint_path, problem)
+        if resumed is not None:
+            x = jnp.asarray(resumed.x.astype(opts.dtype))
+            count = resumed.iteration
+            delta_history = list(resumed.delta_history)
+            if delta_history:
+                delta0 = max(delta_history[0], 1e-300)
+                rel = delta_history[-1] / delta0
+                cg_tol = max(opts.cg_tol, min(opts.forcing_max, rel * rel))
+    watch = Stopwatch()
     while True:
         count += 1
         x, deltasum, v_local, stats, _ = step(x, obs, jnp.asarray(cg_tol, opts.dtype))
         deltasum = float(deltasum)
         delta_history.append(deltasum)
+        check_divergence(count, deltasum, delta_history)
+        if progress_fn is not None:
+            progress_fn(IterationRecord(count, deltasum, watch.lap(), cg_tol))
+        if checkpoint_path is not None and count % checkpoint_every == 0:
+            ckpt_mod.save_checkpoint(
+                checkpoint_path,
+                ckpt_mod.SolverCheckpoint(
+                    x=np.asarray(x), iteration=count,
+                    delta_history=delta_history,
+                    meta={k: str(v) for k, v in
+                          ckpt_mod.problem_fingerprint(problem).items()},
+                ),
+            )
         if opts.adaptive_forcing:
             delta0 = delta0 or max(deltasum, 1e-300)
             rel = deltasum / delta0
