@@ -71,17 +71,24 @@ def _exclusive_prefix_at(vals, rows):
     return offs[q] + inner
 
 
-def sorted_segment_sum(vals, layout: SegmentLayout):
+def sorted_segment_sum(vals, layout: SegmentLayout, use_pallas=None):
     """Segment sum of a sorted stream. vals (N, D) -> (n_seg, D).
 
-    N must be a multiple of CHUNK (the solver pads observation streams);
-    rows past the last segment's end are ignored (pad ids beyond n_seg)."""
-    n = vals.shape[0]
+    N is padded to a multiple of CHUNK; rows past the last segment's end
+    are ignored (pad ids beyond n_seg).  On TPU the chunk-prefix pass runs
+    as a Pallas kernel (ops/prefix.py); pure-jnp elsewhere."""
+    import jax as _jax
+
+    if use_pallas is None:
+        use_pallas = _jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        from fish_eye_bundle_adjustment_tpu.ops import prefix as _prefix
+
+        return _prefix.sorted_segment_sum_pallas(vals, layout)
+    n, d = vals.shape
     if n % CHUNK != 0:
         pad = CHUNK - n % CHUNK
-        vals = jnp.concatenate(
-            [vals, jnp.zeros((pad,) + vals.shape[1:], vals.dtype)], axis=0
-        )
+        vals = jnp.concatenate([vals, jnp.zeros((pad, d), vals.dtype)], axis=0)
     hi = _exclusive_prefix_at(vals, layout.ends)
     lo = _exclusive_prefix_at(vals, layout.begs)
     return hi - lo
