@@ -22,7 +22,7 @@ REQUIRED_EXTS = (".pho", ".ext", ".cnt", ".int")
 
 
 def main(folder, plot: bool = True, cfg: Optional[str] = None,
-         solver: str = "auto", out_dir=None) -> int:
+         solver: str = "auto", out_dir=None, checkpoint: Optional[str] = None) -> int:
     """Run one adjustment. Returns 0 on success, 1 on error
     (the reference's main_error convention, main.m:23)."""
     from fish_eye_bundle_adjustment_tpu.io.problem import load_problem
@@ -47,7 +47,7 @@ def main(folder, plot: bool = True, cfg: Optional[str] = None,
 
     t0 = time.perf_counter()
     try:
-        result = _solve(problem, solver)
+        result = _solve(problem, solver, checkpoint)
     except Exception as e:  # solver-level failure: report and continue batch
         print(f"Error during adjustment: {e}", file=sys.stderr)
         return 1
@@ -75,7 +75,7 @@ def main(folder, plot: bool = True, cfg: Optional[str] = None,
     return 0
 
 
-def _solve(problem, solver: str):
+def _solve(problem, solver: str, checkpoint: Optional[str] = None):
     from fish_eye_bundle_adjustment_tpu.solver.dense import solve_dense
 
     if solver == "auto":
@@ -84,11 +84,16 @@ def _solve(problem, solver: str):
 
         solver = "dense" if ParamLayout(problem).u <= 3000 else "schur"
     if solver == "dense":
+        if checkpoint:
+            print("note: --checkpoint applies to the schur solver only", file=sys.stderr)
         return solve_dense(problem)
     if solver == "schur":
         from fish_eye_bundle_adjustment_tpu.solver.schur import solve_schur
+        from fish_eye_bundle_adjustment_tpu.utils.observe import log_progress
 
-        return solve_schur(problem)
+        return solve_schur(
+            problem, progress_fn=log_progress, checkpoint_path=checkpoint
+        )
     raise ValueError(f"unknown solver {solver!r}")
 
 
@@ -145,6 +150,7 @@ def _build_parser() -> argparse.ArgumentParser:
         help="dense parity solver, Schur-complement solver, or size-based auto",
     )
     ap.add_argument("--out-dir", help="write outputs here instead of the dataset folder")
+    ap.add_argument("--checkpoint", help="solver checkpoint file (schur solver: resume if present)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     return ap
 
@@ -163,6 +169,7 @@ def cli(argv=None) -> int:
         cfg=args.cfg,
         solver=args.solver,
         out_dir=args.out_dir,
+        checkpoint=args.checkpoint,
     )
 
 

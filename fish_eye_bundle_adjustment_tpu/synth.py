@@ -62,6 +62,7 @@ class SynthBlock:
 def make_block(
     n_img: int = 100,
     n_pts: int = 2000,
+    n_cams: int = 1,
     model: str = "fisheye",
     noise_px: float = 0.3,
     control_frac: float = 0.02,
@@ -79,9 +80,12 @@ def make_block(
     """
     rng = np.random.default_rng(seed)
 
-    # --- camera grid ---------------------------------------------------
+    # --- camera rig: n_cams cameras round-robin across images, slightly
+    # different focal lengths (exercises per-camera IOP blocks + rmax)
     altitude = 1000.0
     c_focal = 1200.0
+    focals = c_focal * (1.0 + 0.05 * np.arange(n_cams))
+    img_cam = (np.arange(n_img) % n_cams).astype(np.int32)
     half_w, half_h = 1224.0, 1024.0  # 2448 x 2048 sensor
     # nadir pinhole footprint half-extent on the ground
     foot_x = half_w / c_focal * altitude
@@ -133,8 +137,9 @@ def make_block(
 
     # exact projection of candidates (vectorized numpy mirror of
     # models/projection.py — float64, zero distortion)
-    iop = np.array([0.0, 0.0, c_focal, 0.0, 0.0, 0.0], dtype=np.float64)
-    xy, valid = _project_np(true_eop[obs_img], true_points[obs_pt], c_focal, model)
+    xy, valid = _project_np(
+        true_eop[obs_img], true_points[obs_pt], focals[img_cam[obs_img]], model
+    )
     inside = (
         valid
         & (np.abs(xy[:, 0]) <= half_w * 0.98)
@@ -177,30 +182,30 @@ def make_block(
     cnt0[~is_control] += rng.normal(scale=init_point_sigma, size=(int((~is_control).sum()), 3))
 
     nk = settings.num_radial_distortions
-    iop0 = np.zeros((1, 5 + nk))
-    iop0[0, 2] = c_focal
+    iop0 = np.zeros((n_cams, 5 + nk))
+    iop0[:, 2] = focals
 
     image_ids = [f"I{i:05d}" for i in range(n_img)]
     target_ids = [f"P{i:06d}" for i in range(n_pts)]
     problem = BAProblem(
         settings=settings,
         image_ids=image_ids,
-        camera_ids=["0"],
+        camera_ids=[str(c) for c in range(n_cams)],
         target_ids=target_ids,
         tie_ids=[target_ids[i] for i in tie_target_idx],
         eop0=eop0,
         iop0=iop0,
         cnt_xyz=cnt0,
-        y_dir=np.array([1.0]),
-        bounds=np.array([[-half_w, -half_h, half_w, half_h]]),
-        rmax=np.array([math.hypot(half_w, half_h)]),
+        y_dir=np.ones(n_cams),
+        bounds=np.tile([-half_w, -half_h, half_w, half_h], (n_cams, 1)),
+        rmax=np.full(n_cams, math.hypot(half_w, half_h)),
         obs_xy=xy,
         obs_img=obs_img.astype(np.int32),
-        obs_cam=np.zeros(obs_img.size, dtype=np.int32),
+        obs_cam=img_cam[obs_img],
         obs_pt=obs_pt.astype(np.int32),
         tie_target_idx=tie_target_idx,
         target_tie_slot=target_tie_slot,
-        img_cam=np.zeros(n_img, dtype=np.int32),
+        img_cam=img_cam,
     )
     return SynthBlock(problem=problem, true_eop=true_eop, true_points=true_points)
 
@@ -253,7 +258,8 @@ def write_block(block: SynthBlock, out_dir, cfg: bool = True):
         for i in range(p.n_img):
             e = p.eop0[i]
             f.write(
-                f"{p.image_ids[i]}\t0\t{e[0]:.10f}\t{e[1]:.10f}\t{e[2]:.10f}\t"
+                f"{p.image_ids[i]}\t{p.camera_ids[p.img_cam[i]]}\t"
+                f"{e[0]:.10f}\t{e[1]:.10f}\t{e[2]:.10f}\t"
                 f"{e[3]*r2d:.12f}\t{e[4]*r2d:.12f}\t{e[5]*r2d:.12f}\n"
             )
     with open(out / f"{name}.cnt", "w") as f:
@@ -261,10 +267,12 @@ def write_block(block: SynthBlock, out_dir, cfg: bool = True):
             c = p.cnt_xyz[i]
             f.write(f"{p.target_ids[i]}\t{c[0]:.10f}\t{c[1]:.10f}\t{c[2]:.10f}\n")
     with open(out / f"{name}.int", "w") as f:
-        b = p.bounds[0]
-        f.write(f"0\t{p.y_dir[0]:g}\t{b[0]:g}\t{b[1]:g}\t{b[2]:g}\t{b[3]:g}\n")
-        iop = p.iop0[0]
-        f.write("\t".join(f"{v:.10g}" for v in iop) + "\n")
+        for ci in range(p.n_cam):
+            b = p.bounds[ci]
+            f.write(
+                f"{p.camera_ids[ci]}\t{p.y_dir[ci]:g}\t{b[0]:g}\t{b[1]:g}\t{b[2]:g}\t{b[3]:g}\n"
+            )
+            f.write("\t".join(f"{v:.10g}" for v in p.iop0[ci]) + "\n")
     with open(out / f"{name}.tie", "w") as f:
         for tid in p.tie_ids:
             f.write(tid + "\n")

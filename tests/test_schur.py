@@ -90,3 +90,37 @@ class TestSynthetic:
         np.testing.assert_allclose(prob2.eop0, p1.eop0, atol=1e-9)
         res = solve_schur(prob2)
         assert res.converged
+
+
+class TestMultiCamera:
+    """n_cam > 1 exercises per-camera IOP blocks, gathers, and rmax scaling
+    (the reference supports multiple 2-row .int entries, main.m:229-256)."""
+
+    def test_three_cameras_self_calibration(self):
+        blk = make_block(
+            n_img=24, n_pts=600, n_cams=3, seed=41,
+            settings_overrides={
+                "estimate_c": True, "estimate_xp": True, "estimate_yp": True,
+            },
+        )
+        p = blk.problem
+        assert p.n_cam == 3
+        rs = solve_schur(p, keep_history=False)
+        rd = solve_dense(p, compute_covariance=False)
+        assert rs.converged and rd.converged
+        np.testing.assert_allclose(rs.x, rd.x, atol=1e-8)
+        # each camera's focal length recovered (true: 1200 * (1 + 0.05 c))
+        lay = rs.layout
+        for ci in range(3):
+            c_est = rs.x[lay.iop_slot(ci, 2)]
+            assert abs(c_est - 1200.0 * (1 + 0.05 * ci)) < 0.5, ci
+
+    def test_multicam_file_roundtrip(self, tmp_path):
+        from fish_eye_bundle_adjustment_tpu.io.problem import load_problem
+
+        blk = make_block(n_img=12, n_pts=300, n_cams=2, seed=43)
+        write_block(blk, tmp_path)
+        p2 = load_problem(tmp_path)
+        assert p2.n_cam == 2
+        np.testing.assert_array_equal(p2.obs_cam, blk.problem.obs_cam)
+        assert solve_schur(p2, keep_history=False).converged
