@@ -145,22 +145,28 @@ def build_problem(
     # first-observation order of np.unique on the PHO column (main.m:261-264
     # uses MATLAB unique = sorted; we match sorted order).
     if settings.estimate_all_gcp:
-        tie_ids = sorted(set(pho.target_ids))
+        tie_ids = sorted(pho.uniq_targets)
     elif not settings.estimate_tie:
         tie_ids = []
     elif tie_ids is None:
         raise DatasetError("Estimate_tie=1 requires a .tie file (or Estimate_AllGCP=1)")
 
-    n_obs = len(pho.target_ids)
-    obs_img = np.empty(n_obs, dtype=np.int32)
-    obs_pt = np.empty(n_obs, dtype=np.int32)
-    for i, (t, im) in enumerate(zip(pho.target_ids, pho.image_ids)):
-        if im not in img_map:
-            raise DatasetError(f"image {im!r} from .pho not found in .ext")  # main.m:294-298
-        if t not in tgt_map:
-            raise DatasetError(f"target {t!r} from .pho not found in .cnt")  # main.m:352-356
-        obs_img[i] = img_map[im]
-        obs_pt[i] = tgt_map[t]
+    # Factorized join: the .pho columns arrive as int32 codes into
+    # first-appearance-ordered unique tables (native parse or PhoData
+    # interning), so the per-observation remap is a gather through a
+    # unique-sized lookup table.  Missing-ID errors fire in first-observation
+    # order, matching the reference's per-row scan (main.m:294-298,352-356).
+    def _lut(uniq, target_map, what, other):
+        out = np.empty(len(uniq), dtype=np.int32)
+        for j, u in enumerate(uniq):
+            idx = target_map.get(u)
+            if idx is None:
+                raise DatasetError(f"{what} {u!r} from .pho not found in {other}")
+            out[j] = idx
+        return out
+
+    obs_img = _lut(pho.uniq_images, img_map, "image", ".ext")[pho.img_codes]
+    obs_pt = _lut(pho.uniq_targets, tgt_map, "target", ".cnt")[pho.tgt_codes]
 
     img_cam = np.empty(len(ext.image_ids), dtype=np.int32)
     for j, cam_id in enumerate(ext.camera_ids):

@@ -54,9 +54,50 @@ def _tokenize(path) -> List[List[str]]:
 
 @dataclasses.dataclass
 class PhoData:
-    target_ids: List[str]
-    image_ids: List[str]
+    """Image measurements, stored factorized: string IDs are interned into
+    first-appearance-ordered unique tables with int32 code columns — the
+    form the problem-assembly join consumes directly (and the form the
+    native C++ parser emits, io/native.py)."""
+
+    uniq_targets: List[str]
+    uniq_images: List[str]
+    tgt_codes: np.ndarray  # (n_obs,) int32 -> uniq_targets
+    img_codes: np.ndarray  # (n_obs,) int32 -> uniq_images
     xy: np.ndarray  # (n_obs, 2) float64
+
+    @classmethod
+    def from_rows(cls, target_ids: List[str], image_ids: List[str],
+                  xy: np.ndarray) -> "PhoData":
+        ut, tc = _intern(target_ids)
+        ui, ic = _intern(image_ids)
+        return cls(ut, ui, tc, ic, np.asarray(xy, dtype=np.float64))
+
+    # per-observation expanded views (report/debug convenience)
+    @property
+    def target_ids(self) -> List[str]:
+        return [self.uniq_targets[i] for i in self.tgt_codes]
+
+    @property
+    def image_ids(self) -> List[str]:
+        return [self.uniq_images[i] for i in self.img_codes]
+
+    @property
+    def n_obs(self) -> int:
+        return int(self.xy.shape[0])
+
+
+def _intern(ids: List[str]):
+    """First-appearance-order factorization of a string column."""
+    uniq: List[str] = []
+    m: Dict[str, int] = {}
+    codes = np.empty(len(ids), dtype=np.int32)
+    for i, s in enumerate(ids):
+        j = m.get(s)
+        if j is None:
+            j = m[s] = len(uniq)
+            uniq.append(s)
+        codes[i] = j
+    return uniq, codes
 
 
 @dataclasses.dataclass
@@ -93,18 +134,46 @@ class IntData:
 
 
 def read_pho(path) -> PhoData:
-    rows = _tokenize(path)
-    if not rows:
+    pho = _read_pho_native(path)
+    if pho is None:
+        pho = _read_pho_python(path)
+    if pho.n_obs == 0:
         raise DatasetError(f"{path}: empty .pho file")
+    return pho
+
+
+def _read_pho_native(path) -> Optional[PhoData]:
+    """Native C++ parse (io/native.py); None -> fall back to Python."""
+    try:
+        from fish_eye_bundle_adjustment_tpu.io import native
+    except ImportError:
+        return None
+    if not native.available():
+        return None
+    try:
+        ut, ui, tc, ic, xy = native.parse_pho(path)
+    except native.NativeError as e:
+        raise DatasetError(str(e)) from None
+    return PhoData(ut, ui, tc, ic, xy)
+
+
+def _read_pho_python(path) -> PhoData:
     tgt, img, xs, ys = [], [], [], []
-    for r in rows:
+    for r in _tokenize(path):
         if len(r) < 4:
             raise DatasetError(f"{path}: .pho row needs 4 columns, got {r}")
         tgt.append(r[0])
         img.append(r[1])
-        xs.append(float(r[2]))
-        ys.append(float(r[3]))
-    return PhoData(tgt, img, np.column_stack([xs, ys]).astype(np.float64))
+        try:
+            xs.append(float(r[2]))
+            ys.append(float(r[3]))
+        except ValueError:
+            raise DatasetError(
+                f"{path}: .pho row has non-numeric coordinate: {r}"
+            ) from None
+    return PhoData.from_rows(
+        tgt, img, np.column_stack([xs, ys]) if tgt else np.empty((0, 2))
+    )
 
 
 def read_ext(path) -> ExtData:
@@ -127,14 +196,38 @@ def read_ext(path) -> ExtData:
 
 
 def read_cnt(path) -> CntData:
-    rows = _tokenize(path)
+    native_res = _read_idtable_native(path, 3)
+    if native_res is not None:
+        uniq, codes, vals = native_res
+        # .cnt IDs are expanded (duplicates preserved; duplicate detection
+        # happens in the join, matching the Python path)
+        ids = [uniq[i] for i in codes]
+        return CntData(ids, vals)
     ids, xyz = [], []
-    for r in rows:
+    for r in _tokenize(path):
         if len(r) < 4:
             raise DatasetError(f"{path}: .cnt row needs 4 columns, got {r}")
         ids.append(r[0])
-        xyz.append([float(v) for v in r[1:4]])
-    return CntData(ids, np.asarray(xyz, dtype=np.float64))
+        try:
+            xyz.append([float(v) for v in r[1:4]])
+        except ValueError:
+            raise DatasetError(
+                f"{path}: .cnt row has non-numeric value: {r}"
+            ) from None
+    return CntData(ids, np.asarray(xyz, dtype=np.float64).reshape(len(ids), 3))
+
+
+def _read_idtable_native(path, n_num: int):
+    try:
+        from fish_eye_bundle_adjustment_tpu.io import native
+    except ImportError:
+        return None
+    if not native.available():
+        return None
+    try:
+        return native.parse_idtable(path, n_num)
+    except native.NativeError as e:
+        raise DatasetError(str(e)) from None
 
 
 def read_int(path, num_radial: int) -> IntData:

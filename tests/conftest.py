@@ -23,6 +23,13 @@ REFERENCE = Path("/root/reference")
 
 
 @pytest.fixture(scope="session")
+def cam0_dir():
+    if not REFERENCE.exists():
+        pytest.skip("reference dataset not available")
+    return REFERENCE
+
+
+@pytest.fixture(scope="session")
 def cam0_problem():
     """The bundled cam0 dataset, shipped config (pinhole self-calibration)."""
     if not REFERENCE.exists():

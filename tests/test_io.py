@@ -124,7 +124,7 @@ class TestReaders:
 
 
 def _tiny_inputs():
-    pho = readers.PhoData(
+    pho = readers.PhoData.from_rows(
         ["T1", "T2", "T1"],
         ["I1", "I1", "I2"],
         np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]),
@@ -178,7 +178,9 @@ class TestJoin:
 
     def test_unknown_image_raises(self):
         pho, ext, cnt, int_ = _tiny_inputs()
-        pho.image_ids[0] = "NOPE"
+        pho = readers.PhoData.from_rows(
+            pho.target_ids, ["NOPE"] + pho.image_ids[1:], pho.xy
+        )
         with pytest.raises(DatasetError, match="image 'NOPE'"):
             build_problem(pho, ext, cnt, int_, None, self._settings())
 
