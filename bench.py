@@ -59,7 +59,11 @@ def _time_steps(problem, dtype, device=None, steps=5, cg_maxiter=10):
 
     ctx = jax.default_device(device) if device is not None else _nullctx()
     with ctx:
-        obs = ObsData.from_problem(problem, layout, dtype=dtype, order=order)
+        # with_plan=True: the exact production configuration solve_schur uses
+        # (scatter-free DualAxisPlan reductions), not the scatter fallback
+        obs = ObsData.from_problem(
+            problem, layout, dtype=dtype, order=order, with_plan=True
+        )
         step = jax.jit(schur_step_fn(kernel, layout, False))
         x = jnp.asarray(layout.initial().astype(dtype))
         tol = jnp.asarray(1e-4, dtype)

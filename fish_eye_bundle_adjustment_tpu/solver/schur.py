@@ -525,41 +525,69 @@ class SchurFactors:
         return apply
 
 
+_CG_UNROLL = 8  # iterations fused per while_loop trip (see _pcg)
+
+
 def _pcg(matvec, b, precond, project, tol, maxiter):
-    """Projected preconditioned CG (lax.while_loop).
+    """Projected preconditioned CG with masked-unrolled iterations.
 
     `project` restricts iterates to null(G^T) for free-network solves
-    (identity otherwise)."""
+    (identity otherwise).
+
+    A plain lax.while_loop body costs ~8.5 ms/iteration of loop overhead
+    on the v5e chip beyond the ~11.6 ms matvec (measured at 1M obs;
+    scan/fori are identical) — XLA cannot pipeline or CSE across the loop
+    boundary.  So iterations are unrolled in blocks of _CG_UNROLL with
+    per-iteration masking (alpha/beta forced to 0 once ||r|| <= tol||b||
+    or the iteration budget is spent, making converged iterations exact
+    no-ops), and the while_loop steps over blocks.  Small static budgets
+    (maxiter <= 2*_CG_UNROLL, the adaptive-forcing regime) unroll fully
+    with no loop at all.  Semantics match the classic guarded loop: same
+    updates while active, stop by tol or maxiter exactly."""
     b = project(b)
-    bnorm = jnp.linalg.norm(b)
+    bnorm2 = jnp.vdot(b, b)
+    tol2 = tol * tol * bnorm2
 
     def mv(v):
         return project(matvec(project(v)))
 
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    z0 = project(precond(r0))
-    p0 = z0
-    rz0 = jnp.vdot(r0, z0)
-
-    def cond(state):
+    def masked_iter(state):
         i, x, r, z, p, rz = state
-        return jnp.logical_and(i < maxiter, jnp.linalg.norm(r) > tol * bnorm)
-
-    def body(state):
-        i, x, r, z, p, rz = state
+        rn2 = jnp.vdot(r, r)
+        active = jnp.logical_and(rn2 > tol2, i < maxiter)
         Ap = mv(p)
-        alpha = rz / jnp.vdot(p, Ap)
+        pAp = jnp.vdot(p, Ap)
+        alpha = jnp.where(active, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = project(precond(r))
         rz_new = jnp.vdot(r, z)
-        beta = rz_new / rz
-        p = z + beta * p
-        return i + 1, x, r, z, p, rz_new
+        beta = jnp.where(active, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = jnp.where(active, z + beta * p, p)
+        rz = jnp.where(active, rz_new, rz)
+        return i + active.astype(jnp.int32), x, r, z, p, rz
 
-    i, x, r, *_ = jax.lax.while_loop(cond, body, (0, x0, r0, z0, p0, rz0))
-    return x, i, jnp.linalg.norm(r) / bnorm
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = project(precond(r0))
+    state = (jnp.int32(0), x0, r0, z0, z0, jnp.vdot(r0, z0))
+
+    if maxiter <= 2 * _CG_UNROLL:
+        for _ in range(maxiter):
+            state = masked_iter(state)
+    else:
+        def cond(state):
+            i, x, r, *_ = state
+            return jnp.logical_and(i < maxiter, jnp.vdot(r, r) > tol2)
+
+        def block(state):
+            for _ in range(_CG_UNROLL):
+                state = masked_iter(state)
+            return state
+
+        state = jax.lax.while_loop(cond, block, state)
+    i, x, r, *_ = state
+    return x, i, jnp.sqrt(jnp.vdot(r, r) / bnorm2)
 
 
 def make_projection_builder(layout, nc, use_ic: bool):
