@@ -52,9 +52,12 @@ from fish_eye_bundle_adjustment_tpu.utils.observe import (
 
 
 def shard_obs(obs: ObsData, mesh) -> ObsData:
-    """Place each ObsData leaf with its observation axis sharded."""
-    spec = NamedSharding(mesh, P(OBS_AXIS))
-    return jax.tree.map(lambda a: jax.device_put(a, spec), obs)
+    """Place ObsData leaves: observation axis sharded, per-camera tables
+    replicated (obs.pspec)."""
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        obs, obs.pspec(OBS_AXIS),
+    )
 
 
 def make_distributed_step(problem: BAProblem, mesh, options: Optional[SchurOptions] = None):
@@ -89,7 +92,7 @@ def make_distributed_step(problem: BAProblem, mesh, options: Optional[SchurOptio
         shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(P(), jax.tree.map(lambda _: P(OBS_AXIS), obs), P()),
+            in_specs=(P(), obs.pspec(OBS_AXIS), P()),
             out_specs=(P(), P(), P(OBS_AXIS), P(), P()),
             check_vma=False,  # replicated outputs are produced via explicit psum
         )

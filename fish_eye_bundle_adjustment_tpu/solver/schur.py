@@ -104,9 +104,11 @@ class ObsData:
     pt: jax.Array  # (n,) int32 target index (into the full point table)
     tie: jax.Array  # (n,) int32 tie slot, == n_tie for control obs
     xy: jax.Array  # (n, 2) measured coordinates
-    ydir: jax.Array  # (n,)
-    iop_scale: jax.Array  # (n, 3+nk+2) distortion conditioning per obs
     W: jax.Array  # (n, 2) weights (0 on padding rows)
+    # per-CAMERA tables (replicated under sharding; a 1M-row gather costs
+    # ~3 ms on a v5e chip, so constants are never expanded to the obs axis)
+    ydir_cam: jax.Array  # (n_cam,)
+    iop_scale_cam: jax.Array  # (n_cam, 3+nk+2) distortion conditioning
     # scatter-free reduction plan (tie-sorted primary axis + image-sorted
     # secondary permutation); None -> scatter fallback (distributed shards)
     plan: Optional[DualAxisPlan] = None
@@ -149,11 +151,23 @@ class ObsData:
             pt=jnp.asarray(_prep(problem.obs_pt)),
             tie=jnp.asarray(_prep(tie, fill=layout.n_tie)),
             xy=jnp.asarray(_prep(problem.obs_xy.astype(dtype))),
-            ydir=jnp.asarray(_prep(problem.y_dir[problem.obs_cam].astype(dtype), fill=1)),
-            iop_scale=jnp.asarray(
-                _prep(layout.iop_scale_full[problem.obs_cam].astype(dtype), fill=1)
-            ),
             W=jnp.asarray(_prep(W)),  # zero weight rows: padding contributes nothing
+            ydir_cam=jnp.asarray(problem.y_dir.astype(dtype)),
+            iop_scale_cam=jnp.asarray(layout.iop_scale_full.astype(dtype)),
+        )
+
+    def pspec(self, obs_axis: str):
+        """shard_map/device_put spec tree: per-observation leaves sharded on
+        `obs_axis`, per-camera tables replicated."""
+        from jax.sharding import PartitionSpec as P
+
+        sh, rep = P(obs_axis), P()
+        return ObsData(
+            img=sh, cam=sh, pt=sh, tie=sh, xy=sh, W=sh,
+            ydir_cam=rep, iop_scale_cam=rep,
+            plan=None if self.plan is None else jax.tree.map(
+                lambda _: rep, self.plan
+            ),
         )
 
     @staticmethod
@@ -219,20 +233,31 @@ class SchurKernel:
         layout = self.layout
         eop, iop, pts = layout.unpack_scaled(q)
         eop_o = eop[obs.img]
-        iop_o = iop[obs.cam]
         xyz_o = pts[obs.pt]
 
         fn = lambda e, i, x, oxy, yd: obs_jacobian_blocks(
             e, i, x, oxy, yd, self.model_id, self.nk
         )
-        r, Je, Ji, Jp = jax.vmap(fn)(eop_o, iop_o, xyz_o, obs.xy, obs.ydir)
+        if self.n_cam == 1:
+            # single camera (the common case): IOPs and y_dir are constants
+            # — close over them instead of gathering 1M-row tables
+            r, Je, Ji, Jp = jax.vmap(fn, in_axes=(0, None, 0, 0, None))(
+                eop_o, iop[0], xyz_o, obs.xy, obs.ydir_cam[0]
+            )
+        else:
+            r, Je, Ji, Jp = jax.vmap(fn)(
+                eop_o, iop[obs.cam], xyz_o, obs.xy, obs.ydir_cam[obs.cam]
+            )
         if self.ne:
             cols = jnp.asarray(layout.eop_cols)
             Jex, Jey = Je[:, 0, cols], Je[:, 1, cols]
         else:
             Jex = Jey = Je[:, 0, :0]
         if self.ni:
-            Jis = Ji / obs.iop_scale[:, None, :]
+            if self.n_cam == 1:
+                Jis = Ji / obs.iop_scale_cam[0][None, None, :]
+            else:
+                Jis = Ji / obs.iop_scale_cam[obs.cam][:, None, :]
             cols = jnp.asarray(layout.iop_cols)
             Jix, Jiy = Jis[:, 0, cols], Jis[:, 1, cols]
         else:
