@@ -4,20 +4,33 @@ Headline metric (BASELINE.md per-chip throughput target): observations/s of
 the Schur-complement Gauss-Newton step on the BASELINE single-chip scale
 config — a 1k-image / 100k-tie-point synthetic equidistant-fisheye block
 (~1M image observations) — run on the TPU in float32 with the production
-inexact-Newton settings (10 CG iterations/step).
+inexact-Newton settings (10 CG iterations/step) and the exact production
+reduction path (scatter-free DualAxisPlan, with_plan=True, as solve_schur
+ships).
 
 vs_baseline = TPU obs/s divided by the same step on the host CPU (float64,
 the reference-equivalent precision), measured on a smaller block and
 normalized per-observation.  The MATLAB reference cannot run this problem
 at all (dense u^3 ~ (1k*6 + 300k)^3); CPU-JAX is the honest stand-in.
 
+Secondary metrics in the same JSON object:
+- gn_iterations_per_second + convergence evidence: the same f32 block is
+  stepped to its convergence plateau (L1(delta) under 3e-4/unknown; the
+  f32 rounding floor sits near 1.8e-4/unknown) and sigma0 must come out
+  ~1, i.e. the f32 iteration genuinely solves the adjustment
+  (BASELINE "BA iterations/s/chip"; VERDICT r1 item 4).
+- scaling: bench_scaling.py run as a CPU fake-mesh subprocess
+  (BASELINE configs[5] proxy; VERDICT r1 item 5).
+
 Usage:
-  python bench.py              # full benchmark (TPU + CPU baseline)
-  python bench.py --quick     # small shapes (smoke test)
+  python bench.py              # full benchmark
+  python bench.py --quick      # small shapes (smoke test)
+  python bench.py --skip-cpu --skip-scaling --skip-convergence
 """
 
 import argparse
 import json
+import subprocess
 import sys
 import time
 
@@ -36,8 +49,9 @@ def _build(n_img, n_pts, seed=2):
     return blk.problem
 
 
-def _time_steps(problem, dtype, device=None, steps=5, cg_maxiter=10):
-    """Compile + time `steps` sequential GN steps (each host-synced)."""
+def _make_step(problem, dtype, cg_maxiter=10):
+    """The exact production configuration solve_schur uses: tie-sorted
+    observations with the scatter-free DualAxisPlan reductions."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -56,36 +70,57 @@ def _time_steps(problem, dtype, device=None, steps=5, cg_maxiter=10):
     layout = ParamLayout(problem)
     kernel = SchurKernel(layout, opts, obs_order="tie")
     order = ObsData.sort_order_by_tie(problem, layout)
-
-    ctx = jax.default_device(device) if device is not None else _nullctx()
-    with ctx:
-        # with_plan=True: the exact production configuration solve_schur uses
-        # (scatter-free DualAxisPlan reductions), not the scatter fallback
-        obs = ObsData.from_problem(
-            problem, layout, dtype=dtype, order=order, with_plan=True
-        )
-        step = jax.jit(schur_step_fn(kernel, layout, False))
-        x = jnp.asarray(layout.initial().astype(dtype))
-        tol = jnp.asarray(1e-4, dtype)
-        # warmup/compile
-        out = step(x, obs, tol)
-        float(out[1])
-        t0 = time.perf_counter()
-        xs = x
-        for _ in range(steps):
-            out = step(xs, obs, tol)
-            xs = out[0]
-            float(out[1])  # host sync every step (real workloads read this)
-        elapsed = time.perf_counter() - t0
-    return elapsed / steps
+    obs = ObsData.from_problem(
+        problem, layout, dtype=dtype, order=order, with_plan=True
+    )
+    step = jax.jit(schur_step_fn(kernel, layout, False))
+    x0 = jnp.asarray(layout.initial().astype(dtype))
+    return step, x0, obs, layout
 
 
-class _nullctx:
-    def __enter__(self):
-        return None
+def _time_steps(step, x0, obs, dtype, steps=5):
+    """Compile + time `steps` sequential GN steps (each host-synced)."""
+    import jax.numpy as jnp
 
-    def __exit__(self, *a):
-        return False
+    tol = jnp.asarray(1e-4, dtype)
+    out = step(x0, obs, tol)  # warmup/compile
+    float(out[1])
+    t0 = time.perf_counter()
+    xs = x0
+    for _ in range(steps):
+        out = step(xs, obs, tol)
+        xs = out[0]
+        float(out[1])  # host sync every step (real workloads read this)
+    return (time.perf_counter() - t0) / steps
+
+
+def _converge(step, x0, obs, layout, dtype, cap=60):
+    """Step the (already compiled) f32 GN iteration to its convergence
+    plateau; returns (iterations, seconds excluding compile, sigma0,
+    final L1)."""
+    import jax.numpy as jnp
+
+    threshold = 3e-4 * layout.u  # f32 floor is ~1.8e-4 per unknown
+    # Eisenstat-Walker forcing, as run_gn_loop does
+    tol_max, tol_min = 1e-2, 1e-6
+    out = step(x0, obs, jnp.asarray(tol_max, dtype))  # compiled already
+    float(out[1])
+    x = x0
+    cg_tol = tol_max
+    delta0 = None
+    t0 = time.perf_counter()
+    for it in range(1, cap + 1):
+        x, deltasum, _, stats, _ = step(x, obs, jnp.asarray(cg_tol, dtype))
+        deltasum = float(deltasum)
+        delta0 = delta0 or max(deltasum, 1e-30)
+        rel = deltasum / delta0
+        cg_tol = max(tol_min, min(tol_max, rel * rel))
+        if deltasum <= threshold:
+            break
+    elapsed = time.perf_counter() - t0
+    vPv = float(stats[0])
+    sigma02 = vPv / (layout.problem.n - layout.u)
+    return it, elapsed, sigma02, deltasum
 
 
 def main(argv=None):
@@ -93,6 +128,8 @@ def main(argv=None):
     ap.add_argument("--quick", action="store_true", help="small smoke-test shapes")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--skip-cpu", action="store_true")
+    ap.add_argument("--skip-scaling", action="store_true")
+    ap.add_argument("--skip-convergence", action="store_true")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -105,7 +142,8 @@ def main(argv=None):
 
     # TPU (default backend) ------------------------------------------------
     prob_tpu = _build(*tpu_shape)
-    t_step = _time_steps(prob_tpu, np.float32, steps=args.steps)
+    step, x0, obs, layout = _make_step(prob_tpu, np.float32)
+    t_step = _time_steps(step, x0, obs, np.float32, steps=args.steps)
     tpu_obs_s = prob_tpu.n_obs / t_step
     print(
         f"# TPU: {prob_tpu.n_img} img / {prob_tpu.n_tie} tie / "
@@ -114,33 +152,62 @@ def main(argv=None):
         file=sys.stderr,
     )
 
+    result = {
+        "metric": "schur_gn_step_observations_per_second",
+        "value": round(tpu_obs_s, 1),
+        "unit": "obs/s",
+        "vs_baseline": None,
+    }
+
+    # f32 convergence at benchmark scale (same compiled executable) --------
+    if not args.skip_convergence:
+        iters, secs, sigma02, l1 = _converge(step, x0, obs, layout, np.float32)
+        it_s = iters / secs if secs > 0 else None
+        converged = l1 <= 3e-4 * layout.u and 0.8 < sigma02 < 1.2
+        print(
+            f"# convergence: {iters} GN iters in {secs:.1f}s "
+            f"({it_s:.2f} it/s), sigma0^2={sigma02:.4f}, L1={l1:.3g} "
+            f"({'OK' if converged else 'NOT CONVERGED'})",
+            file=sys.stderr,
+        )
+        result["gn_iterations_per_second"] = round(it_s, 3)
+        result["f32_converged"] = bool(converged)
+        result["f32_sigma02"] = round(sigma02, 5)
+
     # CPU baseline ---------------------------------------------------------
-    vs = None
     if not args.skip_cpu:
         try:
             cpu_dev = jax.devices("cpu")[0]
             prob_cpu = _build(*cpu_shape)
-            t_cpu = _time_steps(prob_cpu, np.float64, device=cpu_dev, steps=3)
+            with jax.default_device(cpu_dev):
+                cstep, cx0, cobs, _ = _make_step(prob_cpu, np.float64)
+                t_cpu = _time_steps(cstep, cx0, cobs, np.float64, steps=3)
             cpu_obs_s = prob_cpu.n_obs / t_cpu
             print(
                 f"# CPU: {prob_cpu.n_obs} obs, f64 step = {t_cpu*1e3:.1f} ms "
                 f"-> {cpu_obs_s:,.0f} obs/s",
                 file=sys.stderr,
             )
-            vs = tpu_obs_s / cpu_obs_s
+            result["vs_baseline"] = round(tpu_obs_s / cpu_obs_s, 2)
         except Exception as e:  # CPU backend unavailable: report TPU-only
             print(f"# CPU baseline unavailable: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "schur_gn_step_observations_per_second",
-                "value": round(tpu_obs_s, 1),
-                "unit": "obs/s",
-                "vs_baseline": round(vs, 2) if vs is not None else None,
-            }
-        )
-    )
+    # multi-device scaling proxy (subprocess: CPU fake mesh) ---------------
+    if not args.skip_scaling:
+        try:
+            cmd = [sys.executable, "bench_scaling.py"]
+            if args.quick:
+                cmd.append("--quick")
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=900,
+            )
+            sys.stderr.write(proc.stderr)
+            line = proc.stdout.strip().splitlines()[-1]
+            result["scaling"] = json.loads(line)
+        except Exception as e:
+            print(f"# scaling harness unavailable: {e}", file=sys.stderr)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

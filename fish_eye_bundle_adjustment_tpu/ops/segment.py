@@ -36,8 +36,8 @@ class SegmentLayout:
     begs/ends are row offsets per segment (exclusive end); empty segments
     have begs == ends and reduce to zero."""
 
-    begs: jax.Array  # (n_seg,) int32
-    ends: jax.Array  # (n_seg,) int32
+    begs: jax.Array  # (n_seg,) int32 — or (1, n_seg) inside a shard_map
+    ends: jax.Array  # shard (leading axis = shard slot, see build_sharded)
 
     @staticmethod
     def from_sorted_ids(ids: np.ndarray, n_seg: int) -> "SegmentLayout":
@@ -45,6 +45,12 @@ class SegmentLayout:
         return SegmentLayout(
             begs=jnp.asarray(starts[:-1]), ends=jnp.asarray(starts[1:])
         )
+
+    def rows(self):
+        """(begs, ends) squeezed of a per-shard leading axis."""
+        if self.begs.ndim == 2:
+            return self.begs[0], self.ends[0]
+        return self.begs, self.ends
 
 
 def _exclusive_prefix_at(vals, rows):
@@ -86,12 +92,13 @@ def sorted_segment_sum(vals, layout: SegmentLayout, use_pallas=False):
         from fish_eye_bundle_adjustment_tpu.ops import prefix as _prefix
 
         return _prefix.sorted_segment_sum_pallas(vals, layout)
+    begs, ends = layout.rows()
     n, d = vals.shape
     if n % CHUNK != 0:
         pad = CHUNK - n % CHUNK
         vals = jnp.concatenate([vals, jnp.zeros((pad, d), vals.dtype)], axis=0)
-    hi = _exclusive_prefix_at(vals, layout.ends)
-    lo = _exclusive_prefix_at(vals, layout.begs)
+    hi = _exclusive_prefix_at(vals, ends)
+    lo = _exclusive_prefix_at(vals, begs)
     return hi - lo
 
 
@@ -121,8 +128,45 @@ class DualAxisPlan:
             ),
         )
 
+    @staticmethod
+    def build_sharded(primary_ids: np.ndarray, n_primary: int,
+                      secondary_ids: np.ndarray, n_secondary: int,
+                      n_shards: int) -> "DualAxisPlan":
+        """Per-shard plans stacked on a leading axis, for shard_map over
+        an observation axis split into `n_shards` equal contiguous slices.
+
+        The global stream is sorted on the primary axis, so each slice is
+        too; segments straddling a shard boundary are partially reduced in
+        each shard and completed by the caller's cross-shard psum.  All
+        row offsets are LOCAL to the shard.  Inside shard_map each leaf
+        arrives with a leading axis of 1, squeezed by rows()/perm."""
+        n = primary_ids.shape[0]
+        assert n % n_shards == 0, (n, n_shards)
+        m = n // n_shards
+        parts = []
+        for d in range(n_shards):
+            sl = slice(d * m, (d + 1) * m)
+            parts.append(DualAxisPlan.build(
+                primary_ids[sl], n_primary, secondary_ids[sl], n_secondary
+            ))
+        stack = lambda xs: jnp.stack(xs, axis=0)
+        return DualAxisPlan(
+            primary=SegmentLayout(
+                begs=stack([p.primary.begs for p in parts]),
+                ends=stack([p.primary.ends for p in parts]),
+            ),
+            perm=stack([p.perm for p in parts]),
+            secondary=SegmentLayout(
+                begs=stack([p.secondary.begs for p in parts]),
+                ends=stack([p.secondary.ends for p in parts]),
+            ),
+        )
+
+    def _perm_rows(self):
+        return self.perm[0] if self.perm.ndim == 2 else self.perm
+
     def secondary_sum(self, vals):
-        return sorted_segment_sum(vals[self.perm], self.secondary)
+        return sorted_segment_sum(vals[self._perm_rows()], self.secondary)
 
     def primary_sum(self, vals):
         return sorted_segment_sum(vals, self.primary)

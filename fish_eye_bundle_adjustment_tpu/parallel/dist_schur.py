@@ -21,7 +21,6 @@ uses device_put with a NamedSharding.
 from __future__ import annotations
 
 import dataclasses
-import time
 from functools import partial
 from typing import Optional
 
@@ -40,15 +39,11 @@ from fish_eye_bundle_adjustment_tpu.solver.schur import (
     SchurKernel,
     SchurOptions,
     _finalize,
+    run_gn_loop,
     schur_step_fn,
+    unpermute_v,
 )
 from fish_eye_bundle_adjustment_tpu.utils.layout import ParamLayout
-from fish_eye_bundle_adjustment_tpu.utils import checkpoint as ckpt_mod
-from fish_eye_bundle_adjustment_tpu.utils.observe import (
-    IterationRecord,
-    Stopwatch,
-    check_divergence,
-)
 
 
 def shard_obs(obs: ObsData, mesh) -> ObsData:
@@ -78,7 +73,8 @@ def make_distributed_step(problem: BAProblem, mesh, options: Optional[SchurOptio
         else None
     )
     obs = ObsData.from_problem(
-        problem, layout, dtype=opts.dtype, pad_to=padded, order=order
+        problem, layout, dtype=opts.dtype, pad_to=padded, order=order,
+        with_plan=order is not None, shard_plans=n_dev,
     )
     obs = shard_obs(obs, mesh)
 
@@ -114,68 +110,17 @@ def solve_schur_distributed(
     by construction, the same arithmetic up to reduction order)."""
     opts = options or SchurOptions()
     mesh = mesh if mesh is not None else make_mesh()
-    settings = problem.settings
     step, obs, layout, order = make_distributed_step(problem, mesh, opts)
 
-    t0 = time.perf_counter()
-    x = jnp.asarray((layout.initial() if x0 is None else np.asarray(x0)).astype(opts.dtype))
-    history = [np.asarray(x)] if keep_history else []
-    delta_history = []
-    v_shard = None
-    stats = jnp.zeros(3)
-    converged = False
-    count = 0
-    delta0 = None
-    cg_tol = opts.forcing_max if opts.adaptive_forcing else opts.cg_tol
-    # resume from a prior checkpoint when one exists (utils/checkpoint.py)
-    if checkpoint_path is not None:
-        resumed = ckpt_mod.load_checkpoint(checkpoint_path, problem)
-        if resumed is not None:
-            x = jnp.asarray(resumed.x.astype(opts.dtype))
-            count = resumed.iteration
-            delta_history = list(resumed.delta_history)
-            if delta_history:
-                delta0 = max(delta_history[0], 1e-300)
-                rel = delta_history[-1] / delta0
-                cg_tol = max(opts.cg_tol, min(opts.forcing_max, rel * rel))
-    watch = Stopwatch()
-    while True:
-        count += 1
-        x, deltasum, v_shard, stats, _ = step(x, obs, jnp.asarray(cg_tol, opts.dtype))
-        deltasum = float(deltasum)
-        delta_history.append(deltasum)
-        check_divergence(count, deltasum, delta_history)
-        if progress_fn is not None:
-            progress_fn(IterationRecord(count, deltasum, watch.lap(), cg_tol))
-        if checkpoint_path is not None and count % checkpoint_every == 0:
-            ckpt_mod.save_checkpoint(
-                checkpoint_path,
-                ckpt_mod.SolverCheckpoint(
-                    x=np.asarray(x), iteration=count,
-                    delta_history=delta_history,
-                    meta={k: str(v) for k, v in
-                          ckpt_mod.problem_fingerprint(problem).items()},
-                ),
-            )
-        if opts.adaptive_forcing:
-            delta0 = delta0 or max(deltasum, 1e-300)
-            rel = deltasum / delta0
-            cg_tol = max(opts.cg_tol, min(opts.forcing_max, rel * rel))
-        if keep_history:
-            history.append(np.asarray(x))
-        if deltasum <= settings.threshold:
-            converged = True
-            break
-        if count >= settings.iteration_cap:
-            break
-    elapsed = time.perf_counter() - t0
-
-    v_sorted = np.asarray(v_shard)[: problem.n_obs]
-    if order is not None:
-        v_unsorted = np.empty_like(v_sorted)
-        v_unsorted[order] = v_sorted
-        v_sorted = v_unsorted
-    v_np = v_sorted.reshape(-1)
+    x, history, delta_history, v_shard, stats, count, converged, elapsed = (
+        run_gn_loop(
+            step, obs, layout, problem, opts,
+            keep_history=keep_history, x0=x0, progress_fn=progress_fn,
+            checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+            x_sharding=NamedSharding(mesh, P()),
+        )
+    )
+    v_np = unpermute_v(v_shard, order, problem.n_obs)
     return _finalize(
         problem, layout, x, history, delta_history, v_np, np.asarray(stats),
         count, converged, elapsed, keep_history,

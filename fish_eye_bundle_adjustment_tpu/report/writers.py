@@ -112,7 +112,10 @@ def write_reports(
 
     x = result.x
     std = result.std if result.std is not None else np.full(layout.u, np.nan)
-    corr = result.correlation() if result.Cx_q is not None else None
+    # full correlations when the dense path ran; camera-block (EOP+IOP)
+    # correlations from the Schur covariance otherwise — the correlation
+    # sections below only index camera-block entries either way
+    corr = result.camera_correlation()
     rsd = stats_mod.build_rsd(problem, layout, x, result.v)
     corrected = stats_mod.corrected_coords(problem, rsd)
     img_counts = stats_mod.count_image_points(problem)

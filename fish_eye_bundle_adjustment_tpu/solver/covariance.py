@@ -1,0 +1,350 @@
+"""Parameter covariance for the Schur path — stds at scale.
+
+The reference reports a standard deviation for every unknown from
+Cx = sigma0^2 * N^-1 (or the bordered [N G; G' 0]^-1 — main.m:428-443,
+712-897).  The Schur solver never materializes N, so this module computes
+the same quantities from the block factors:
+
+  camera block:   Cc = sigma0^2 * (S^-1  or  [S Gc; Gc' 0]^-1 top-left),
+                  where S = Hcc - Hcp Hpp^-1 Hpc is the reduced camera
+                  system (materialized DENSELY, once, at report time);
+  point blocks:   Cp_t = sigma0^2 * (Hpp_t^-1 + Z_t' Cc Z_t),
+                  Z_t = Hpp_t^-1-folded coupling columns of point t
+                  (block back-substitution of the covariance).
+
+Materializing S exploits the bundle structure: S's (i, j) pose block
+couples images i and j through the points they share, so the coupling
+term is a sum over OBSERVATION PAIRS (a, b) that see the same point —
+enumerated statically on the host (each (image, point) pair has one
+observation) and reduced on device in chunks.  Everything runs in
+float64; the dense inverse happens on the host (the TPU backend has no
+f64 LU).
+
+Complexity: pairs = sum_t k_t^2 (~11M at 1M observations), S is
+(6*n_img + n_cam*ni)^2 — gated by ``max_images`` (default 2000 ->
+S_ee = 1.2 GB f64).  Past the gate the solver returns std=None and the
+report writes n/a rather than NaN columns.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fish_eye_bundle_adjustment_tpu.io.problem import BAProblem
+from fish_eye_bundle_adjustment_tpu.solver.constraints import build_G
+from fish_eye_bundle_adjustment_tpu.utils.layout import ParamLayout
+
+
+@dataclasses.dataclass
+class SchurCovariance:
+    std: np.ndarray  # (u,) sigma0-scaled, de-scaled to x units
+    Cc_q: np.ndarray  # (nc, nc) camera-block covariance, q-space,
+    #                   pre-sigma02 (for report correlations, like Cx_q)
+
+
+def _pair_lists(tie_sorted: np.ndarray, n_tie: int):
+    """Static (a, b) observation-pair enumeration per tie point.
+
+    `tie_sorted` is the tie id per observation row in tie-sorted order
+    (control/padding rows carry id == n_tie and are excluded)."""
+    n_live = int(np.searchsorted(tie_sorted, n_tie))
+    ids = tie_sorted[:n_live]
+    starts = np.searchsorted(ids, np.arange(n_tie + 1))
+    counts = np.diff(starts)
+    seg_pairs = counts.astype(np.int64) ** 2
+    P = int(seg_pairs.sum())
+    pair_seg = np.repeat(np.arange(n_tie), seg_pairs)
+    offs = np.concatenate([[0], np.cumsum(seg_pairs)])
+    within = np.arange(P) - np.repeat(offs[:-1], seg_pairs)
+    k = counts[pair_seg]
+    pa = (starts[pair_seg] + within // k).astype(np.int64)
+    pb = (starts[pair_seg] + within % k).astype(np.int64)
+    return pa, pb, pair_seg.astype(np.int64)
+
+
+def schur_covariance(
+    problem: BAProblem,
+    layout: ParamLayout,
+    x: np.ndarray,
+    sigma02: float,
+    max_images: int = 2000,
+    pair_chunk: int = 2_000_000,
+) -> Optional[SchurCovariance]:
+    """Covariance diagonal (stds) + camera-block covariance at solution x.
+
+    Returns None when n_img exceeds `max_images` (dense S would not fit).
+    """
+    from fish_eye_bundle_adjustment_tpu.solver.schur import (
+        ObsData,
+        SchurKernel,
+        SchurOptions,
+    )
+
+    if problem.n_img > max_images:
+        return None
+
+    opts = SchurOptions(dtype=np.float64, obs_order="tie")
+    kernel = SchurKernel(layout, opts, obs_order="tie")
+    ne, ni = kernel.ne, kernel.ni
+    n_img, n_cam, nt = kernel.n_img, kernel.n_cam, kernel.n_tie
+    nc = kernel.nc
+    use_ic = problem.settings.inner_constraints
+
+    order = ObsData.sort_order_by_tie(problem, layout)
+    obs = ObsData.from_problem(
+        problem, layout, dtype=np.float64, order=order, with_plan=True
+    )
+    q = jnp.asarray(np.asarray(x, dtype=np.float64) * layout.scale)
+    fac = jax.jit(kernel.linearize)(q, obs)
+
+    wx, wy = obs.W[:, 0], obs.W[:, 1]
+    tie_np = np.asarray(obs.tie)
+    img_np = np.asarray(obs.img)
+    cam_np = np.asarray(obs.cam)
+    N = obs.n
+
+    # ---- Hcc blocks (no Schur correction) ------------------------------
+    @jax.jit
+    def hcc_blocks():
+        out = {}
+        if ne:
+            cols = [
+                wx * fac.Jex[:, e] * fac.Jex[:, f]
+                + wy * fac.Jey[:, e] * fac.Jey[:, f]
+                for e in range(ne) for f in range(ne)
+            ]
+            out["ee"] = obs.plan.secondary_sum(jnp.stack(cols, 1)).reshape(
+                n_img, ne, ne
+            )
+        if ne and ni:
+            cols = [
+                wx * fac.Jex[:, e] * fac.Jix[:, i]
+                + wy * fac.Jey[:, e] * fac.Jiy[:, i]
+                for e in range(ne) for i in range(ni)
+            ]
+            out["ei"] = obs.plan.secondary_sum(jnp.stack(cols, 1)).reshape(
+                n_img, ne, ni
+            )
+        if ni:
+            g = jnp.stack(
+                [
+                    wx * fac.Jix[:, i] * fac.Jix[:, j]
+                    + wy * fac.Jiy[:, i] * fac.Jiy[:, j]
+                    for i in range(ni) for j in range(ni)
+                ],
+                1,
+            )
+            if n_cam == 1:
+                out["ii"] = jnp.sum(g, 0).reshape(1, ni, ni)
+            else:
+                out["ii"] = (
+                    jnp.zeros((n_cam, ni * ni)).at[obs.cam].add(g)
+                ).reshape(n_cam, ni, ni)
+        return out
+
+    hcc = {k: np.asarray(v) for k, v in hcc_blocks().items()}
+
+    # ---- per-observation coupling blocks -------------------------------
+    # D_o = Je' W Jp (ne,3); E_o = Ji' W Jp (ni,3); folded G_o = D_o Hpp^-1
+    @jax.jit
+    def coupling():
+        Hg = fac.Hpi_flat[obs.tie].reshape(N, 3, 3)  # zero row for control obs
+        Jpw_x = fac.Jpx * wx[:, None]
+        Jpw_y = fac.Jpy * wy[:, None]
+        out = {}
+        if ne:
+            Dx = jnp.einsum("ne,np->nep", fac.Jex, Jpw_x)
+            Dy = jnp.einsum("ne,np->nep", fac.Jey, Jpw_y)
+            D = Dx + Dy  # (N, ne, 3)
+            out["D"] = D
+            out["G"] = jnp.einsum("nep,npq->neq", D, Hg)
+        if ni:
+            Ex = jnp.einsum("ni,np->nip", fac.Jix, Jpw_x)
+            Ey = jnp.einsum("ni,np->nip", fac.Jiy, Jpw_y)
+            out["E"] = Ex + Ey  # (N, ni, 3)
+        out["Hg"] = Hg
+        return out
+
+    cp = coupling()
+    Hpi = np.asarray(fac.Hpi_flat)[:nt].reshape(nt, 3, 3)
+
+    # per-(tie, cam) IOP aggregates: Esum (nt, n_cam, ni, 3)
+    Esum = np.zeros((nt, n_cam, ni, 3))
+    EHsum = np.zeros_like(Esum)  # Esum @ Hpp^-1, used twice below
+    if ni and nt:
+        E_np = np.asarray(cp["E"])
+        live = tie_np < nt
+        key = tie_np[live] * n_cam + cam_np[live]
+        flat = np.zeros((nt * n_cam, ni * 3))
+        np.add.at(flat, key, E_np[live].reshape(-1, ni * 3))
+        Esum = flat.reshape(nt, n_cam, ni, 3)
+        EHsum = np.einsum("tcip,tpq->tciq", Esum, Hpi)
+
+    # ---- assemble dense S on the host -----------------------------------
+    S = np.zeros((nc, nc))
+    if ne:
+        ee = hcc["ee"]
+        for i in range(n_img):
+            S[i * ne : (i + 1) * ne, i * ne : (i + 1) * ne] = ee[i]
+    io = layout.eop_size  # offset of the IOP block inside the camera vector
+    if ne and ni:
+        ei = hcc["ei"]
+        for i in range(n_img):
+            c = int(problem.img_cam[i])
+            S[i * ne : (i + 1) * ne, io + c * ni : io + (c + 1) * ni] += ei[i]
+            S[io + c * ni : io + (c + 1) * ni, i * ne : (i + 1) * ne] += ei[i].T
+    if ni:
+        ii = hcc["ii"]
+        for c in range(n_cam):
+            S[io + c * ni : io + (c + 1) * ni, io + c * ni : io + (c + 1) * ni] = ii[c]
+
+    # Schur corrections
+    if nt and ni:
+        # ii: sum_t Esum_c1 Hpp^-1 Esum_c2'
+        corr_ii = np.einsum("tciq,tdjq->cidj", EHsum, Esum)
+        for c1 in range(n_cam):
+            for c2 in range(n_cam):
+                S[io + c1 * ni : io + (c1 + 1) * ni,
+                  io + c2 * ni : io + (c2 + 1) * ni] -= corr_ii[c1, :, c2, :]
+    if nt and ne and ni:
+        # ei: per-obs D_o Hpp^-1 Esum_{t(o), c}' = G_o @ Esum' summed into
+        # (img, cam) — G_o already carries the Hpp^-1 fold
+        key = jnp.asarray(
+            np.minimum(tie_np, nt).astype(np.int64) * n_cam + cam_np
+        )
+        Es_obs = jnp.concatenate(
+            [jnp.asarray(Esum.reshape(nt * n_cam, ni * 3)),
+             jnp.zeros((n_cam, ni * 3))], 0  # dummy rows for control obs
+        )
+
+        @jax.jit
+        def ei_corr():
+            Esg = Es_obs[key].reshape(N, ni, 3)
+            g = jnp.einsum("neq,niq->nei", cp["G"], Esg)
+            return obs.plan.secondary_sum(g.reshape(N, ne * ni))
+
+        corr_ei = np.asarray(ei_corr()).reshape(n_img, ne, ni)
+        for i in range(n_img):
+            c = int(problem.img_cam[i])
+            blk = corr_ei[i]
+            S[i * ne : (i + 1) * ne, io + c * ni : io + (c + 1) * ni] -= blk
+            S[io + c * ni : io + (c + 1) * ni, i * ne : (i + 1) * ne] -= blk.T
+    pa = pb = pair_seg = None
+    if nt and ne:
+        # ee: pair sum over observations sharing a point
+        pa, pb, pair_seg = _pair_lists(tie_np, nt)
+        P = pa.shape[0]
+        # fold Hpp^-1 once per obs via its Cholesky: Hpp^-1 = R R'
+        R = np.linalg.cholesky(Hpi)  # (nt, 3, 3) lower
+        Rg = np.zeros((N, 3, 3))
+        live = tie_np < nt
+        Rg[live] = R[tie_np[live]]
+        M = np.asarray(
+            jnp.einsum("nep,npq->neq", cp["D"], jnp.asarray(Rg))
+        )  # (N, ne, 3);  D_a Hpp^-1 D_b' = M_a M_b'
+        M = np.concatenate([M, np.zeros((1, ne, 3))], 0)  # padding row
+        bid_np = img_np[pa].astype(np.int64) * n_img + img_np[pb]
+
+        Sflat = jnp.zeros((n_img * n_img, ne * ne))
+        M_dev = jnp.asarray(M)
+        n_chunks = (P + pair_chunk - 1) // pair_chunk
+
+        @jax.jit
+        def pair_scatter(Sflat, ia, ib, bid):
+            prod = jnp.einsum("peq,pfq->pef", M_dev[ia], M_dev[ib])
+            return Sflat.at[bid].add(prod.reshape(-1, ne * ne))
+
+        for c in range(n_chunks):
+            sl = slice(c * pair_chunk, min((c + 1) * pair_chunk, P))
+            m = sl.stop - sl.start
+            pad = pair_chunk - m
+            ia = np.concatenate([pa[sl], np.full(pad, N)]).astype(np.int32)
+            ib = np.concatenate([pb[sl], np.full(pad, N)]).astype(np.int32)
+            bid = np.concatenate([bid_np[sl], np.zeros(pad)]).astype(np.int32)
+            Sflat = pair_scatter(Sflat, jnp.asarray(ia), jnp.asarray(ib),
+                                 jnp.asarray(bid))
+        See_corr = np.asarray(Sflat).reshape(n_img, n_img, ne, ne)
+        ee_view = S[: n_img * ne, : n_img * ne].reshape(n_img, ne, n_img, ne)
+        ee_view -= See_corr.transpose(0, 2, 1, 3)
+
+    # ---- invert (host, f64) ---------------------------------------------
+    if use_ic:
+        Gc = np.asarray(build_G(layout, q))[:nc]  # (nc, 7); tie rows are zero
+        d = Gc.shape[1]
+        K = np.block([[S, Gc], [Gc.T, np.zeros((d, d))]])
+        Cc = np.linalg.inv(K)[:nc, :nc]
+    else:
+        Cc = np.linalg.inv(S)
+
+    # ---- stds ------------------------------------------------------------
+    var_q = np.zeros(layout.u)
+    var_q[:nc] = np.diag(Cc)
+    if nt:
+        pvar = np.einsum("tpp->tp", Hpi).copy()  # (nt, 3) base Hpp^-1 diag
+        if ne:
+            # pair term: sum_{a,b in t} diag3(G_a' Cee[ia,ib] G_b)
+            Cee = jnp.asarray(
+                Cc[: n_img * ne, : n_img * ne]
+                .reshape(n_img, ne, n_img, ne)
+                .transpose(0, 2, 1, 3)
+                .reshape(n_img * n_img, ne * ne)
+            )
+            G_np = np.concatenate(
+                [np.asarray(cp["G"]), np.zeros((1, ne, 3))], 0
+            )
+            G_dev = jnp.asarray(G_np)
+            P = pa.shape[0]
+            acc = jnp.zeros((nt + 1, 3))
+            n_chunks = (P + pair_chunk - 1) // pair_chunk
+            bid_np = img_np[pa].astype(np.int64) * n_img + img_np[pb]
+
+            @jax.jit
+            def pair_pointvar(acc, ia, ib, bid, seg):
+                C_ab = Cee[bid].reshape(-1, ne, ne)
+                t1 = jnp.einsum("pef,pfq->peq", C_ab, G_dev[ib])
+                contr = jnp.einsum("peq,peq->pq", G_dev[ia], t1)  # (P, 3)
+                return acc.at[seg].add(contr)
+
+            for c in range(n_chunks):
+                sl = slice(c * pair_chunk, min((c + 1) * pair_chunk, P))
+                m = sl.stop - sl.start
+                pad = pair_chunk - m
+                ia = np.concatenate([pa[sl], np.full(pad, N)]).astype(np.int32)
+                ib = np.concatenate([pb[sl], np.full(pad, N)]).astype(np.int32)
+                bid = np.concatenate([bid_np[sl], np.zeros(pad)]).astype(np.int32)
+                seg = np.concatenate([pair_seg[sl], np.full(pad, nt)]).astype(np.int32)
+                acc = pair_pointvar(acc, jnp.asarray(ia), jnp.asarray(ib),
+                                    jnp.asarray(bid), jnp.asarray(seg))
+            pvar += np.asarray(acc)[:nt]
+        if ni:
+            # cross term 2 * diag3(A_t EHsum_t) with
+            # A_t = sum_{a in t} G_a' Cei[img_a, :, cam] and the pure-IOP
+            # term EHsum' Cii EHsum
+            Cei = Cc[: n_img * ne, io:].reshape(n_img, ne, n_cam * ni)
+            Cii = Cc[io:, io:]
+            if ne:
+                Cei_dev = jnp.asarray(Cei)
+                img_dev = jnp.asarray(img_np)
+
+                @jax.jit
+                def a_term():
+                    Ce_o = Cei_dev[img_dev]  # (N, ne, n_cam*ni)
+                    g = jnp.einsum("neq,nek->nqk", cp["G"], Ce_o)
+                    return obs.plan.primary_sum(g.reshape(N, 3 * n_cam * ni))
+
+                A = np.asarray(a_term())[:nt].reshape(nt, 3, n_cam, ni)
+                pvar += 2.0 * np.einsum("tqci,tciq->tq", A, EHsum)
+            CiiR = Cii.reshape(n_cam, ni, n_cam, ni)
+            pvar += np.einsum(
+                "tciq,cidj,tdjq->tq", EHsum, CiiR, EHsum
+            )
+        var_q[layout.tie_offset :] = pvar.reshape(-1)
+
+    var_x = var_q / layout.scale**2 * sigma02
+    std = np.sqrt(np.maximum(var_x, 0.0))
+    return SchurCovariance(std=std, Cc_q=Cc)

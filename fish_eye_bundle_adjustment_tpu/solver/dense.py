@@ -59,6 +59,11 @@ class DenseResult:
     std: Optional[np.ndarray]  # (u,)
     Cx_q: Optional[np.ndarray]  # pre-descale, pre-sigma02 (for correlations)
     elapsed_s: float
+    # camera-block covariance from the Schur path (solver/covariance.py):
+    # (nc, nc) over [EOPs | IOPs], q-space, pre-sigma02.  The report's
+    # correlation sections only touch camera-block entries, so this is
+    # enough at scales where the full (u, u) Cx cannot exist.
+    Cc_q: Optional[np.ndarray] = None
 
     @property
     def names(self):
@@ -68,6 +73,17 @@ class DenseResult:
         """Full correlation matrix (main.m:447-456) — computed on demand."""
         d = np.sqrt(np.diag(self.Cx_q))
         return self.Cx_q / np.outer(d, d)
+
+    def camera_correlation(self) -> Optional[np.ndarray]:
+        """Camera-block (EOP+IOP) correlation matrix; indexable exactly
+        like correlation() for indices < nc."""
+        C = self.Cx_q if self.Cx_q is not None else self.Cc_q
+        if C is None:
+            return None
+        nc = self.layout.eop_size + self.layout.iop_size
+        C = C[:nc, :nc]
+        d = np.sqrt(np.diag(C))
+        return C / np.outer(d, d)
 
 
 def solve_dense(

@@ -117,10 +117,12 @@ class ObsData:
     def from_problem(problem: BAProblem, layout: ParamLayout, dtype=np.float64,
                      pad_to: Optional[int] = None,
                      order: Optional[np.ndarray] = None,
-                     with_plan: bool = False) -> "ObsData":
+                     with_plan: bool = False,
+                     shard_plans: Optional[int] = None) -> "ObsData":
         """`order` optionally permutes the observation axis (e.g. sorted by
         tie slot so point-segment sums see sorted indices — see
-        sort_order_by_tie)."""
+        sort_order_by_tie).  `shard_plans=n` builds per-shard reduction
+        plans (stacked on a leading axis) for shard_map over n devices."""
         n = problem.n_obs
         pad = (pad_to or n) - n
         tie = problem.target_tie_slot[problem.obs_pt]
@@ -141,9 +143,14 @@ class ObsData:
                 raise ValueError("with_plan requires a tie-sorted order")
             tie_p = _prep(tie, fill=layout.n_tie)
             img_p = _prep(problem.obs_img)
-            plan = DualAxisPlan.build(
-                tie_p, layout.n_tie + 1, img_p, layout.n_img
-            )
+            if shard_plans:
+                plan = DualAxisPlan.build_sharded(
+                    tie_p, layout.n_tie + 1, img_p, layout.n_img, shard_plans
+                )
+            else:
+                plan = DualAxisPlan.build(
+                    tie_p, layout.n_tie + 1, img_p, layout.n_img
+                )
         return ObsData(
             plan=plan,
             img=jnp.asarray(_prep(problem.obs_img)),
@@ -158,7 +165,8 @@ class ObsData:
 
     def pspec(self, obs_axis: str):
         """shard_map/device_put spec tree: per-observation leaves sharded on
-        `obs_axis`, per-camera tables replicated."""
+        `obs_axis`, per-camera tables replicated.  Sharded-plan leaves
+        (stacked per-shard, leading axis = shard slot) shard on axis 0."""
         from jax.sharding import PartitionSpec as P
 
         sh, rep = P(obs_axis), P()
@@ -166,7 +174,8 @@ class ObsData:
             img=sh, cam=sh, pt=sh, tie=sh, xy=sh, W=sh,
             ydir_cam=rep, iop_scale_cam=rep,
             plan=None if self.plan is None else jax.tree.map(
-                lambda _: rep, self.plan
+                lambda a: sh if a.ndim == 2 else rep,  # stacked per-shard
+                self.plan,
             ),
         )
 
@@ -670,72 +679,33 @@ def schur_step_fn(kernel: SchurKernel, layout: ParamLayout, use_ic: bool):
     return step
 
 
-def _finalize(problem, layout, x, history, delta_history, v_np, stats, count,
-              converged, elapsed, keep_history):
-    vPv, sx2, sy2 = (float(s) for s in stats)
-    n = problem.n
-    sigma02 = vPv / (n - layout.u)
-    rms_x = float(np.sqrt(sx2 / problem.n_obs))
-    rms_y = float(np.sqrt(sy2 / problem.n_obs))
-    return DenseResult(
-        problem=problem,
-        layout=layout,
-        x=np.asarray(x),
-        iterations=count,
-        converged=converged,
-        delta_history=delta_history,
-        x_history=np.asarray(history) if keep_history else np.zeros((0, layout.u)),
-        v=v_np,
-        sigma02=sigma02,
-        rms_x=rms_x,
-        rms_y=rms_y,
-        rms=float(np.sqrt(rms_x**2 + rms_y**2)),
-        Cx=None,
-        std=None,
-        Cx_q=None,
-        elapsed_s=elapsed,
-    )
+def run_gn_loop(step, obs, layout, problem, opts: SchurOptions,
+                keep_history=True, x0=None, progress_fn=None,
+                checkpoint_path=None, checkpoint_every: int = 1,
+                x_sharding=None):
+    """The outer Gauss-Newton driver shared by solve_schur and
+    solve_schur_distributed: convergence on L1 of the de-scaled correction
+    vs Threshold_Value with Iteration_Cap (main.m:412,487-493), adaptive
+    Eisenstat-Walker forcing for the inner CG tolerance, divergence
+    detection, progress callbacks, and checkpoint/resume.
 
-
-def solve_schur(
-    problem: BAProblem,
-    options: Optional[SchurOptions] = None,
-    keep_history: bool = True,
-    x0=None,
-    progress_fn=None,
-    checkpoint_path=None,
-    checkpoint_every: int = 1,
-) -> DenseResult:
-    """Outer Gauss-Newton loop with the Schur/PCG inner solve (one device).
-
-    Matches the reference's convergence conventions (L1 of the de-scaled
-    correction vs Threshold_Value, Iteration_Cap). Covariance is not
-    materialized at scale — report-sized runs use solve_dense.
+    `step(x, obs, cg_tol) -> (new_x, deltasum, v_local, stats, cg_iters)`
+    is the jitted single-device or shard_map step.  Returns
+    (x, history, delta_history, v_local, stats, count, converged, elapsed).
     """
-    opts = options or SchurOptions()
     settings = problem.settings
-    layout = ParamLayout(problem)
-    use_ic = settings.inner_constraints
-    if use_ic:
-        validate_inner_constraints(layout)
-
-    kernel = SchurKernel(layout, opts, obs_order=opts.obs_order)
-    order = (
-        ObsData.sort_order_by_tie(problem, layout)
-        if opts.obs_order == "tie"
-        else None  # problem order is image-major already ("img")
-    )
-    obs = ObsData.from_problem(
-        problem, layout, dtype=opts.dtype, order=order,
-        with_plan=order is not None,
-    )
-    step = jax.jit(schur_step_fn(kernel, layout, use_ic))
-
     t0 = time.perf_counter()
-    x = jnp.asarray((layout.initial() if x0 is None else np.asarray(x0)).astype(opts.dtype))
+    x = jnp.asarray(
+        (layout.initial() if x0 is None else np.asarray(x0)).astype(opts.dtype)
+    )
+    if x_sharding is not None:
+        # commit x to the step's replicated output sharding up front —
+        # otherwise the second iteration (fed the step's own output)
+        # changes the input sharding and forces a recompilation
+        x = jax.device_put(x, x_sharding)
     history = [np.asarray(x)] if keep_history else []
     delta_history = []
-    v_local = jnp.zeros((problem.n_obs, 2), opts.dtype)
+    v_local = None
     stats = jnp.zeros(3)
     converged = False
     count = 0
@@ -783,14 +753,103 @@ def solve_schur(
         if count >= settings.iteration_cap:
             break
     elapsed = time.perf_counter() - t0
+    return x, history, delta_history, v_local, stats, count, converged, elapsed
 
-    v_sorted = np.asarray(v_local)
-    if order is not None:  # un-permute back to original observation order
+
+def unpermute_v(v_local, order, n_obs):
+    """Undo the solver's observation sort (and drop padding) so residual
+    rows line up with the input .pho order."""
+    v_sorted = np.asarray(v_local)[:n_obs]
+    if order is not None:
         v_unsorted = np.empty_like(v_sorted)
         v_unsorted[order] = v_sorted
         v_sorted = v_unsorted
-    v_np = v_sorted.reshape(-1)
-    return _finalize(
+    return v_sorted.reshape(-1)
+
+
+def _finalize(problem, layout, x, history, delta_history, v_np, stats, count,
+              converged, elapsed, keep_history):
+    vPv, sx2, sy2 = (float(s) for s in stats)
+    n = problem.n
+    sigma02 = vPv / (n - layout.u)
+    rms_x = float(np.sqrt(sx2 / problem.n_obs))
+    rms_y = float(np.sqrt(sy2 / problem.n_obs))
+    return DenseResult(
+        problem=problem,
+        layout=layout,
+        x=np.asarray(x),
+        iterations=count,
+        converged=converged,
+        delta_history=delta_history,
+        x_history=np.asarray(history) if keep_history else np.zeros((0, layout.u)),
+        v=v_np,
+        sigma02=sigma02,
+        rms_x=rms_x,
+        rms_y=rms_y,
+        rms=float(np.sqrt(rms_x**2 + rms_y**2)),
+        Cx=None,
+        std=None,
+        Cx_q=None,
+        elapsed_s=elapsed,
+    )
+
+
+def solve_schur(
+    problem: BAProblem,
+    options: Optional[SchurOptions] = None,
+    keep_history: bool = True,
+    x0=None,
+    progress_fn=None,
+    checkpoint_path=None,
+    checkpoint_every: int = 1,
+    compute_covariance: bool = True,
+) -> DenseResult:
+    """Outer Gauss-Newton loop with the Schur/PCG inner solve (one device).
+
+    Matches the reference's convergence conventions (L1 of the de-scaled
+    correction vs Threshold_Value, Iteration_Cap).  Parameter stds come
+    from the block covariance back-substitution in solver/covariance.py
+    (dense-S materialization, gated by problem size — past the gate std
+    stays None and the report prints n/a instead of numbers).
+    """
+    opts = options or SchurOptions()
+    settings = problem.settings
+    layout = ParamLayout(problem)
+    use_ic = settings.inner_constraints
+    if use_ic:
+        validate_inner_constraints(layout)
+
+    kernel = SchurKernel(layout, opts, obs_order=opts.obs_order)
+    order = (
+        ObsData.sort_order_by_tie(problem, layout)
+        if opts.obs_order == "tie"
+        else None  # problem order is image-major already ("img")
+    )
+    obs = ObsData.from_problem(
+        problem, layout, dtype=opts.dtype, order=order,
+        with_plan=order is not None,
+    )
+    step = jax.jit(schur_step_fn(kernel, layout, use_ic))
+
+    x, history, delta_history, v_local, stats, count, converged, elapsed = (
+        run_gn_loop(
+            step, obs, layout, problem, opts,
+            keep_history=keep_history, x0=x0, progress_fn=progress_fn,
+            checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        )
+    )
+    v_np = unpermute_v(v_local, order, problem.n_obs)
+    result = _finalize(
         problem, layout, x, history, delta_history, v_np, np.asarray(stats),
         count, converged, elapsed, keep_history,
     )
+    if compute_covariance:
+        from fish_eye_bundle_adjustment_tpu.solver.covariance import (
+            schur_covariance,
+        )
+
+        cov = schur_covariance(problem, layout, result.x, result.sigma02)
+        if cov is not None:
+            result.std = cov.std
+            result.Cc_q = cov.Cc_q
+    return result
