@@ -93,6 +93,29 @@ class Settings:
         )
 
 
+def settings_echo_pairs(settings: Settings) -> list:
+    """(cfg_key, value) pairs for the .out settings echo, in the
+    reference's .cfg vocabulary (Estimate_Xc, Meas_std, Type, ... —
+    main.m:647-652 echoes the cfg keys, not internal field names)."""
+    field_to_key = {f: k for k, (f, _) in _REQUIRED_KEYS.items()}
+    field_to_key.update({
+        "output_filename": "Output_Filename",
+        "meas_std": "Meas_std",
+        "meas_std_y": "Meas_std_y",
+        "model": "Type",
+        "check_points": "Check_Points",
+    })
+    pairs = []
+    for f in dataclasses.fields(settings):
+        v = getattr(settings, f.name)
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            v = int(v)
+        pairs.append((field_to_key[f.name], str(v)))
+    return pairs
+
+
 _REQUIRED_KEYS = {
     # cfg key -> (field name, is_bool)
     "Iteration_Cap": ("iteration_cap", False),

@@ -48,11 +48,34 @@ from fish_eye_bundle_adjustment_tpu.utils.layout import ParamLayout
 
 def shard_obs(obs: ObsData, mesh) -> ObsData:
     """Place ObsData leaves: observation axis sharded, per-camera tables
-    replicated (obs.pspec)."""
-    return jax.tree.map(
-        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
-        obs, obs.pspec(OBS_AXIS),
-    )
+    replicated (obs.pspec).
+
+    Multi-process (DCN tier): when jax.distributed is initialized with
+    more than one process, every process passes the same globally-built
+    ObsData and only this host's row slice is materialized into the
+    global array via jax.make_array_from_process_local_data — the mesh's
+    device order is jax.devices() (process-major), so host p owns rows
+    [p*n/P, (p+1)*n/P)."""
+    nproc = jax.process_count()
+    specs = obs.pspec(OBS_AXIS)
+    if nproc == 1:
+        return jax.tree.map(
+            lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+            obs, specs,
+        )
+    pid = jax.process_index()
+
+    def put(a, spec):
+        sharding = NamedSharding(mesh, spec)
+        a = np.asarray(a)
+        if len(spec) and spec[0] == OBS_AXIS:
+            per = a.shape[0] // nproc
+            local = a[pid * per : (pid + 1) * per]
+        else:
+            local = a
+        return jax.make_array_from_process_local_data(sharding, local)
+
+    return jax.tree.map(put, obs, specs)
 
 
 def make_distributed_step(problem: BAProblem, mesh, options: Optional[SchurOptions] = None):

@@ -22,6 +22,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from fish_eye_bundle_adjustment_tpu.config import settings_echo_pairs
 from fish_eye_bundle_adjustment_tpu.io.problem import BAProblem
 from fish_eye_bundle_adjustment_tpu.solver import stats as stats_mod
 from fish_eye_bundle_adjustment_tpu.solver.dense import DenseResult
@@ -59,16 +60,21 @@ def _dot_leaders(pairs: List[Tuple[str, str]], pad: int = 4) -> str:
     return "\n".join(out) + "\n"
 
 
-def _settings_pairs(settings) -> List[Tuple[str, str]]:
-    d = dataclasses.asdict(settings)
-    pairs = []
-    for k, v in d.items():
-        if v is None:
-            continue
-        if isinstance(v, bool):
-            v = int(v)
-        pairs.append((k, str(v)))
-    return pairs
+def _git_modified_files() -> List[str]:
+    """Modified-file provenance on dirty runs (main.m:41-50: when
+    `git describe --dirty` reports dirty, the reference lists
+    `git ls-files -m` in the .out header)."""
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "-m"],
+            capture_output=True, text=True, timeout=5,
+            cwd=Path(__file__).resolve().parent,
+        )
+        if out.returncode == 0:
+            return [l for l in out.stdout.splitlines() if l.strip()]
+    except Exception:
+        pass
+    return []
 
 
 def _fmt(v, width=14, dec=5):
@@ -136,15 +142,22 @@ def write_reports(
 
     with open(out_path, "w") as f:
         f.write(f"Version: {version}\n")
-        f.write("TPU-native Fish-eye Bundle Adjustment (fish_eye_bundle_adjustment_tpu)\n\n")
-        f.write(LINE + "\n\n")
+        f.write("TPU-native Fish-eye Bundle Adjustment (fish_eye_bundle_adjustment_tpu)\n")
+        if "dirty" in version:
+            # dirty-run provenance: list modified files (main.m:41-50)
+            for name in _git_modified_files():
+                f.write(f"modified:\t{name}\n")
+        f.write("\n" + LINE + "\n\n")
         f.write(f"Execution date:\t{date}\n")
         f.write(f"Time Taken:\t\t{elapsed_s:.6g} seconds\n")
         f.write(f"Iterations:\t\t{result.iterations}\n")
         f.write(f"Model Used:\t\t{settings.model}\n")
 
         f.write("\nSettings used:\n")
-        f.write(_dot_leaders([("\t\t" + k, v) for k, v in _settings_pairs(settings)]))
+        # echoed in the reference's .cfg key vocabulary (main.m:647-652)
+        f.write(_dot_leaders(
+            [("\t\t" + k, v) for k, v in settings_echo_pairs(settings)]
+        ))
         f.write("\n" + LINE + "\n")
 
         # observation / unknown summary (main.m:654-683)

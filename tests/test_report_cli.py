@@ -57,6 +57,10 @@ class TestCLI:
         text = out_file.read_text()
         assert "Total Unknowns" in text and "580" in text
         assert "Total Degrees of Freedom" in text and "1485" in text
+        # settings echo uses the reference's .cfg vocabulary
+        # (main.m:647-652), not Python field names
+        assert "Estimate_Xc" in text and "Meas_std" in text and "Type" in text
+        assert "estimate_xc" not in text
         assert "A-Posteriori" in text
         assert "IOP Correlation sub-matrix" in text
         assert "Estimated Ground Coordinates" in text
