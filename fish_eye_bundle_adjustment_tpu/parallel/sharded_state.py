@@ -1,0 +1,394 @@
+"""Sharded camera-state distributed solver (SURVEY §2.5 row 2 — the BA
+analogue of tensor parallelism; VERDICT r1 item 6).
+
+parallel/dist_schur.py replicates all camera/point state and psums every
+reduction: per-device memory for CG state and the pose preconditioner
+grows with n_img regardless of device count.  This mode shards them:
+
+- per-image pose blocks of the CG vectors (x, r, z, p), the reduced RHS,
+  and the block-Jacobi preconditioner live SHARDED over the mesh — each
+  device owns n_img/N images;
+- pose-side observation reductions end in ``lax.psum_scatter`` (each
+  device keeps only its image slice) instead of ``psum`` (everyone keeps
+  everything);
+- the only place the full pose vector materializes is the obs-side
+  gather inside the S matvec — one ``all_gather`` per matvec, the
+  minimal communication the observation access pattern requires;
+- IOPs (n_cam * ni, tiny and touched by every observation) and the point
+  factors (Hpp^-1) stay replicated;
+- CG inner products weight the sharded pose part with a psum and add the
+  replicated IOP part once.
+
+Per-device camera-state memory vs the replicated path (f64 words):
+  replicated:  ~6 CG vectors * (n_img*ne + n_cam*ni) + n_img*ne^2 precond
+  sharded:     ~6 *(n_img*ne/N + n_cam*ni) + n_img*ne^2/N
+               + one transient (n_img*ne) all_gather buffer per matvec
+(see docs/PARITY.md for the worked 10k-image numbers).
+
+Free-network inner constraints run projected like the replicated path;
+each device holds only its own images' G rows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from fish_eye_bundle_adjustment_tpu.io.problem import BAProblem
+from fish_eye_bundle_adjustment_tpu.parallel.mesh import (
+    OBS_AXIS, make_mesh, pad_to_multiple,
+)
+from fish_eye_bundle_adjustment_tpu.parallel.dist_schur import shard_obs
+from fish_eye_bundle_adjustment_tpu.solver.constraints import (
+    build_G, validate_inner_constraints,
+)
+from fish_eye_bundle_adjustment_tpu.solver.dense import DenseResult
+from fish_eye_bundle_adjustment_tpu.solver.schur import (
+    ObsData,
+    SchurKernel,
+    SchurOptions,
+    _finalize,
+    _segsum,
+    run_gn_loop,
+    unpermute_v,
+)
+from fish_eye_bundle_adjustment_tpu.utils.layout import ParamLayout
+
+AX = OBS_AXIS  # one mesh axis serves both the obs shards and pose slices
+
+
+def _expand_sym(sym, k):
+    """(m, k(k+1)/2) symmetric columns -> (m, k, k)."""
+    pairs = [(e, f) for e in range(k) for f in range(e, k)]
+    out = jnp.zeros(sym.shape[:1] + (k, k), sym.dtype)
+    for idx, (e, f) in enumerate(pairs):
+        out = out.at[:, e, f].set(sym[:, idx])
+        if e != f:
+            out = out.at[:, f, e].set(sym[:, idx])
+    return out
+
+
+def make_sharded_camera_step(problem: BAProblem, mesh,
+                             options: Optional[SchurOptions] = None):
+    """Build (step_fn, sharded_obs, layout, order).  Same contract as
+    dist_schur.make_distributed_step — the full unknown vector stays
+    replicated at the step boundary (so run_gn_loop and checkpointing are
+    unchanged); the sharding lives inside the CG solve."""
+    opts = options or SchurOptions()
+    layout = ParamLayout(problem)
+    use_ic = problem.settings.inner_constraints
+    if use_ic:
+        validate_inner_constraints(layout)
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    padded = pad_to_multiple(problem.n_obs, n_dev)
+    order = (
+        ObsData.sort_order_by_tie(problem, layout)
+        if opts.obs_order == "tie"
+        else None
+    )
+    obs = ObsData.from_problem(
+        problem, layout, dtype=opts.dtype, pad_to=padded, order=order,
+        with_plan=order is not None, shard_plans=n_dev,
+    )
+    obs = shard_obs(obs, mesh)
+
+    kernel = SchurKernel(
+        layout, opts, reduce_fn=partial(jax.lax.psum, axis_name=AX),
+        obs_order=opts.obs_order,
+    )
+    ne, ni = kernel.ne, kernel.ni
+    n_img, n_cam = kernel.n_img, kernel.n_cam
+    n_img_pad = pad_to_multiple(max(n_img, 1), n_dev)
+    m_loc = n_img_pad // n_dev  # images per device
+    iop_len = n_cam * ni
+    scale = jnp.asarray(layout.scale, dtype=opts.dtype)
+
+    if ne == 0:
+        raise ValueError(
+            "sharded camera state requires per-image EOP unknowns; "
+            "use solve_schur_distributed for IOP/tie-only problems"
+        )
+
+    def body(x, obs_l: ObsData, cg_tol):
+        q = x * scale
+        fac = kernel.linearize(q, obs_l)  # Hpp psums inside
+        wx, wy = obs_l.W[:, 0], obs_l.W[:, 1]
+
+        def img_scatter(cols):
+            """Per-obs pose columns -> this device's image slice via
+            partial segment-sum + psum_scatter."""
+            if obs_l.plan is not None:
+                part = obs_l.plan.secondary_sum(cols)  # (n_img, k) partial
+            else:
+                part = _segsum(cols, obs_l.img, n_img)
+            if n_img_pad != n_img:
+                part = jnp.concatenate(
+                    [part, jnp.zeros((n_img_pad - n_img,) + part.shape[1:],
+                                     part.dtype)], 0)
+            return jax.lax.psum_scatter(
+                part, AX, scatter_dimension=0, tiled=True
+            )  # (m_loc, k)
+
+        def iop_reduce(cols):
+            if n_cam == 1:
+                out = jnp.sum(cols, axis=0, keepdims=True)
+            else:
+                out = _segsum(cols, obs_l.cam, n_cam)
+            return jax.lax.psum(out, AX)
+
+        # ---- sharded block-Jacobi preconditioner ----------------------
+        # pose diagonal of S (with the Hpp^-1 correction), per local image
+        pairs = [(e, f) for e in range(ne) for f in range(e, ne)]
+        cols = [
+            wx * fac.Jex[:, e] * fac.Jex[:, f]
+            + wy * fac.Jey[:, e] * fac.Jey[:, f]
+            for e, f in pairs
+        ]
+        if kernel.n_tie:
+            Hg = fac.Hpi_flat[obs_l.tie]
+            B = [
+                [
+                    wx * fac.Jex[:, e] * fac.Jpx[:, p]
+                    + wy * fac.Jey[:, e] * fac.Jpy[:, p]
+                    for p in range(3)
+                ]
+                for e in range(ne)
+            ]
+            C = [
+                [sum(B[e][p] * Hg[:, 3 * p + qq] for p in range(3))
+                 for qq in range(3)]
+                for e in range(ne)
+            ]
+            for idx, (e, f) in enumerate(pairs):
+                cols[idx] = cols[idx] - sum(
+                    C[e][qq] * B[f][qq] for qq in range(3)
+                )
+        pose_blocks = _expand_sym(img_scatter(jnp.stack(cols, 1)), ne)
+        # padded image slots have all-zero blocks: make them identity so
+        # the inverse is finite (their CG rows are identically zero)
+        empty = (jnp.abs(pose_blocks).sum((1, 2)) == 0)[:, None, None]
+        eye = jnp.eye(ne, dtype=pose_blocks.dtype)
+        pose_inv = jnp.linalg.inv(pose_blocks + jnp.where(empty, eye, 1e-300 * eye))
+        iop_sym = jnp.stack(
+            [
+                wx * fac.Jix[:, e] * fac.Jix[:, f]
+                + wy * fac.Jiy[:, e] * fac.Jiy[:, f]
+                for e in range(ni) for f in range(e, ni)
+            ], 1,
+        ) if ni else jnp.zeros((obs_l.n, 0), q.dtype)
+        if ni:
+            iop_blocks = _expand_sym(iop_reduce(iop_sym), ni)
+            iop_inv = jnp.linalg.inv(
+                iop_blocks + 1e-300 * jnp.eye(ni, dtype=iop_blocks.dtype)
+            )
+        else:
+            iop_inv = jnp.zeros((n_cam, 0, 0), q.dtype)
+
+        def precond(v):
+            vp, vi = v
+            pz = jnp.einsum("bij,bj->bi", pose_inv, vp)
+            iz = (
+                jnp.einsum("bij,bj->bi", iop_inv, vi.reshape(n_cam, ni))
+                .reshape(-1)
+                if ni else vi
+            )
+            return (pz, iz)
+
+        # ---- inner-constraint projection (local G rows) ----------------
+        if use_ic:
+            G = build_G(layout, q)[: kernel.nc]  # (nc, 7)
+            Gp = G[: layout.eop_size].reshape(n_img, ne, -1)
+            if n_img_pad != n_img:
+                Gp = jnp.concatenate(
+                    [Gp, jnp.zeros((n_img_pad - n_img, ne, G.shape[1]),
+                                   G.dtype)], 0)
+            d = jax.lax.axis_index(AX)
+            Gp_loc = jax.lax.dynamic_slice_in_dim(Gp, d * m_loc, m_loc, 0)
+            Gi = G[layout.eop_size :]
+            GtG_inv = jnp.linalg.inv(G.T @ G)
+
+            def project(v):
+                vp, vi = v
+                gtv = jax.lax.psum(
+                    jnp.einsum("bed,be->d", Gp_loc, vp), AX
+                ) + Gi.T @ vi
+                coef = GtG_inv @ gtv
+                return (
+                    vp - jnp.einsum("bed,d->be", Gp_loc, coef),
+                    vi - Gi @ coef,
+                )
+        else:
+            def project(v):
+                return v
+
+        # ---- S matvec on (sharded pose, replicated iop) -----------------
+        def matvec(v):
+            vp_loc, vi = v
+            vp_full = jax.lax.all_gather(
+                vp_loc, AX, axis=0, tiled=True
+            )[:n_img]  # (n_img, ne)
+            vc = jnp.concatenate([vp_full.reshape(-1), vi])
+            ax, ay = fac._cam_apply(vc)
+            awx, awy = wx * ax, wy * ay
+            if kernel.n_tie:
+                t = fac._point_applyT(awx, awy)  # psum inside
+                y = fac._hpp_inv_apply(t)
+                px, py = fac._point_apply(y)
+                awx = awx - wx * px
+                awy = awy - wy * py
+            out_p = img_scatter(
+                fac.Jex * awx[:, None] + fac.Jey * awy[:, None]
+            )
+            if ni:
+                out_i = iop_reduce(
+                    fac.Jix * awx[:, None] + fac.Jiy * awy[:, None]
+                ).reshape(-1)
+            else:
+                out_i = jnp.zeros((0,), q.dtype)
+            if opts.camera_damping:
+                out_p = out_p + opts.camera_damping * vp_loc
+                out_i = out_i + opts.camera_damping * vi
+            return (out_p, out_i)
+
+        def dot(a, b):
+            ap, ai = a
+            bp, bi = b
+            s = jax.lax.psum(jnp.vdot(ap, bp), AX)
+            return s + jnp.vdot(ai, bi)
+
+        # ---- reduced RHS -------------------------------------------------
+        rwx, rwy = wx * fac.rx, wy * fac.ry
+        if kernel.n_tie:
+            t = fac._point_applyT(rwx, rwy)
+            y = fac._hpp_inv_apply(t)
+            px, py = fac._point_apply(y)
+            rwx = rwx - wx * px
+            rwy = rwy - wy * py
+        rhs = (
+            -img_scatter(fac.Jex * rwx[:, None] + fac.Jey * rwy[:, None]),
+            -(iop_reduce(fac.Jix * rwx[:, None] + fac.Jiy * rwy[:, None])
+              .reshape(-1) if ni else jnp.zeros((0,), q.dtype)),
+        )
+
+        dc_sh, cg_iters, _ = _pcg_tree(
+            matvec, rhs, precond, project, dot, cg_tol, opts.cg_maxiter
+        )
+        dp_full = jax.lax.all_gather(dc_sh[0], AX, axis=0, tiled=True)[:n_img]
+        dc = jnp.concatenate([dp_full.reshape(-1), dc_sh[1]])
+        dp = fac.back_substitute(dc)
+        delta_q = jnp.concatenate([dc, dp.reshape(-1)])
+        delta_x = delta_q / scale
+        ax, ay = fac._cam_apply(dc)
+        px, py = fac._point_apply(dp)
+        vx = jnp.where(wx > 0, ax + px + fac.rx, 0.0)
+        vy = jnp.where(wy > 0, ay + py + fac.ry, 0.0)
+        vPv = jax.lax.psum(jnp.sum(vx * vx * wx + vy * vy * wy), AX)
+        sum_vx2 = jax.lax.psum(jnp.sum(vx * vx), AX)
+        sum_vy2 = jax.lax.psum(jnp.sum(vy * vy), AX)
+        stats = jnp.stack([vPv, sum_vx2, sum_vy2])
+        v_local = jnp.stack([vx, vy], axis=1)
+        return x + delta_x, jnp.sum(jnp.abs(delta_x)), v_local, stats, cg_iters
+
+    step = jax.jit(
+        shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), obs.pspec(AX), P()),
+            out_specs=(P(), P(), P(AX), P(), P()),
+            check_vma=False,
+        )
+    )
+    return step, obs, layout, order
+
+
+def _pcg_tree(matvec, b, precond, project, dot, tol, maxiter, unroll=8):
+    """Projected preconditioned CG on a (pose_shard, iop) state tree —
+    same masked-unrolled semantics as solver.schur._pcg, with the inner
+    product supplied (sharded pose part psum'd, replicated IOP part added
+    once)."""
+    add = lambda a, b_: jax.tree.map(jnp.add, a, b_)
+    sub = lambda a, b_: jax.tree.map(jnp.subtract, a, b_)
+    scl = lambda c, a: jax.tree.map(lambda l: c * l, a)
+    where = lambda m, a, b_: jax.tree.map(
+        lambda x, y: jnp.where(m, x, y), a, b_
+    )
+
+    b = project(b)
+    bnorm2 = dot(b, b)
+    tol2 = tol * tol * bnorm2
+
+    def mv(v):
+        return project(matvec(project(v)))
+
+    def masked_iter(state):
+        i, x, r, z, p, rz = state
+        rn2 = dot(r, r)
+        active = jnp.logical_and(rn2 > tol2, i < maxiter)
+        Ap = mv(p)
+        pAp = dot(p, Ap)
+        alpha = jnp.where(active, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        x = add(x, scl(alpha, p))
+        r = sub(r, scl(alpha, Ap))
+        z = project(precond(r))
+        rz_new = dot(r, z)
+        beta = jnp.where(active, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = where(active, add(z, scl(beta, p)), p)
+        rz = jnp.where(active, rz_new, rz)
+        return i + active.astype(jnp.int32), x, r, z, p, rz
+
+    x0 = jax.tree.map(jnp.zeros_like, b)
+    z0 = project(precond(b))
+    state = (jnp.int32(0), x0, b, z0, z0, dot(b, z0))
+    if maxiter <= 2 * unroll:
+        for _ in range(maxiter):
+            state = masked_iter(state)
+    else:
+        def cond(state):
+            i, x, r, *_ = state
+            return jnp.logical_and(i < maxiter, dot(r, r) > tol2)
+
+        def block(state):
+            for _ in range(unroll):
+                state = masked_iter(state)
+            return state
+
+        state = jax.lax.while_loop(cond, block, state)
+    i, x, r, *_ = state
+    return x, i, jnp.sqrt(dot(r, r) / bnorm2)
+
+
+def solve_schur_sharded_state(
+    problem: BAProblem,
+    mesh=None,
+    options: Optional[SchurOptions] = None,
+    keep_history: bool = True,
+    x0=None,
+    progress_fn=None,
+    checkpoint_path=None,
+    checkpoint_every: int = 1,
+) -> DenseResult:
+    """Drop-in distributed solve with sharded camera state (same result
+    contract as solve_schur_distributed)."""
+    opts = options or SchurOptions()
+    mesh = mesh if mesh is not None else make_mesh()
+    step, obs, layout, order = make_sharded_camera_step(problem, mesh, opts)
+    x, history, delta_history, v_shard, stats, count, converged, elapsed = (
+        run_gn_loop(
+            step, obs, layout, problem, opts,
+            keep_history=keep_history, x0=x0, progress_fn=progress_fn,
+            checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+            x_sharding=NamedSharding(mesh, P()),
+        )
+    )
+    v_np = unpermute_v(v_shard, order, problem.n_obs)
+    return _finalize(
+        problem, layout, x, history, delta_history, v_np, np.asarray(stats),
+        count, converged, elapsed, keep_history,
+    )
