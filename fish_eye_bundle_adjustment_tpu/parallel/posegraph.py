@@ -294,7 +294,25 @@ def solve_posegraph(
     if refine:
         layout = ParamLayout(problem)
         tie0 = points[problem.tie_target_idx]
-        x0 = layout.pack(eop, problem.iop0, tie0)
+        # warm-start IOPs from the blocks' own calibration estimates when
+        # the blocks ran self-calibrating (IOPs are similarity-invariant,
+        # so an observation-weighted average across blocks is the natural
+        # fusion); fall back to the input calibration otherwise
+        iop_init = problem.iop0.copy()
+        if results and results[0].layout.n_iop:
+            acc = np.zeros_like(iop_init)
+            wsum = 0.0
+            for res in results:
+                lb = res.layout
+                full = lb.problem.iop0.copy()
+                full[:, lb.iop_cols] = res.x[
+                    lb.iop_offset : lb.tie_offset
+                ].reshape(lb.n_cam, lb.n_iop)
+                w = float(lb.problem.n_obs)
+                acc += w * full
+                wsum += w
+            iop_init = acc / wsum
+        x0 = layout.pack(eop, iop_init, tie0)
         if refine_mesh is not None:
             from fish_eye_bundle_adjustment_tpu.parallel.dist_schur import (
                 solve_schur_distributed,

