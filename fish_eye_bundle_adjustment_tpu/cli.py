@@ -22,7 +22,8 @@ REQUIRED_EXTS = (".pho", ".ext", ".cnt", ".int")
 
 
 def main(folder, plot: bool = True, cfg: Optional[str] = None,
-         solver: str = "auto", out_dir=None, checkpoint: Optional[str] = None) -> int:
+         solver: str = "auto", out_dir=None, checkpoint: Optional[str] = None,
+         devices: Optional[int] = None, blocks: int = 4) -> int:
     """Run one adjustment. Returns 0 on success, 1 on error
     (the reference's main_error convention, main.m:23)."""
     from fish_eye_bundle_adjustment_tpu.io.problem import load_problem
@@ -47,7 +48,7 @@ def main(folder, plot: bool = True, cfg: Optional[str] = None,
 
     t0 = time.perf_counter()
     try:
-        result = _solve(problem, solver, checkpoint)
+        result = _solve(problem, solver, checkpoint, devices=devices, blocks=blocks)
     except Exception as e:  # solver-level failure: report and continue batch
         print(f"Error during adjustment: {e}", file=sys.stderr)
         return 1
@@ -75,7 +76,8 @@ def main(folder, plot: bool = True, cfg: Optional[str] = None,
     return 0
 
 
-def _solve(problem, solver: str, checkpoint: Optional[str] = None):
+def _solve(problem, solver: str, checkpoint: Optional[str] = None,
+           devices: Optional[int] = None, blocks: int = 4):
     from fish_eye_bundle_adjustment_tpu.solver.dense import solve_dense
 
     if solver == "auto":
@@ -87,13 +89,41 @@ def _solve(problem, solver: str, checkpoint: Optional[str] = None):
         if checkpoint:
             print("note: --checkpoint applies to the schur solver only", file=sys.stderr)
         return solve_dense(problem)
+    from fish_eye_bundle_adjustment_tpu.utils.observe import log_progress
+
     if solver == "schur":
         from fish_eye_bundle_adjustment_tpu.solver.schur import solve_schur
-        from fish_eye_bundle_adjustment_tpu.utils.observe import log_progress
 
         return solve_schur(
             problem, progress_fn=log_progress, checkpoint_path=checkpoint
         )
+    if solver in ("distributed", "sharded"):
+        from fish_eye_bundle_adjustment_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(devices)
+        if solver == "distributed":
+            from fish_eye_bundle_adjustment_tpu.parallel.dist_schur import (
+                solve_schur_distributed,
+            )
+
+            return solve_schur_distributed(
+                problem, mesh, progress_fn=log_progress,
+                checkpoint_path=checkpoint,
+            )
+        from fish_eye_bundle_adjustment_tpu.parallel.sharded_state import (
+            solve_schur_sharded_state,
+        )
+
+        return solve_schur_sharded_state(
+            problem, mesh, progress_fn=log_progress, checkpoint_path=checkpoint
+        )
+    if solver == "posegraph":
+        from fish_eye_bundle_adjustment_tpu.parallel.posegraph import solve_posegraph
+
+        pg = solve_posegraph(problem, n_blocks=blocks, refine=True)
+        if pg.refined is None:
+            raise RuntimeError("pose-graph refine produced no global result")
+        return pg.refined
     raise ValueError(f"unknown solver {solver!r}")
 
 
@@ -145,10 +175,18 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--cfg", help="fallback .cfg when the dataset folder has none")
     ap.add_argument(
         "--solver",
-        choices=("auto", "dense", "schur"),
+        choices=("auto", "dense", "schur", "distributed", "sharded", "posegraph"),
         default="auto",
-        help="dense parity solver, Schur-complement solver, or size-based auto",
+        help="dense parity solver, Schur-complement solver, size-based auto, "
+             "or the scale modes: distributed (obs-sharded over a device "
+             "mesh), sharded (obs-sharded + sharded camera state), posegraph "
+             "(partition -> block solves -> similarity merge -> refine)",
     )
+    ap.add_argument("--devices", type=int,
+                    help="mesh size for --solver distributed/sharded "
+                         "(default: all visible devices)")
+    ap.add_argument("--blocks", type=int, default=4,
+                    help="number of image partitions for --solver posegraph")
     ap.add_argument("--out-dir", help="write outputs here instead of the dataset folder")
     ap.add_argument("--checkpoint", help="solver checkpoint file (schur solver: resume if present)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -170,6 +208,8 @@ def cli(argv=None) -> int:
         solver=args.solver,
         out_dir=args.out_dir,
         checkpoint=args.checkpoint,
+        devices=args.devices,
+        blocks=args.blocks,
     )
 
 

@@ -219,6 +219,31 @@ def _apply_similarity_to_block(res: DenseResult, sub: SubBlock, s, R, t):
     return eop, pts
 
 
+def fuse_block_points(problem: BAProblem, subs: Sequence[SubBlock],
+                      mapped_pts: Sequence[np.ndarray]) -> np.ndarray:
+    """Fuse per-block tie-point estimates (already mapped into the global
+    frame) into one (n_targets, 3) table.
+
+    Each block's estimate of a shared target is weighted by the block's
+    OWN observation count of that target — a block triangulating a point
+    from 40 rays dominates one that saw it twice.  Targets no block
+    estimated keep their input coordinates."""
+    n_tgt = problem.n_targets
+    pt_acc = np.zeros((n_tgt, 3))
+    pt_w = np.zeros(n_tgt)
+    for sb, pts_b in zip(subs, mapped_pts):
+        blk_counts = np.bincount(
+            sb.problem.obs_pt, minlength=sb.problem.n_targets
+        ).astype(np.float64)
+        w = np.maximum(blk_counts[sb.problem.tie_target_idx], 1.0)
+        pt_acc[sb.tie_tgt_global] += pts_b * w[:, None]
+        pt_w[sb.tie_tgt_global] += w
+    return np.where(
+        pt_w[:, None] > 0, pt_acc / np.maximum(pt_w, 1.0)[:, None],
+        problem.cnt_xyz,
+    )
+
+
 @dataclasses.dataclass
 class PoseGraphResult:
     eop: np.ndarray  # (n_img, 6) merged global pose estimates
@@ -271,24 +296,18 @@ def solve_posegraph(
     xi = solve_pose_graph(B, edges)
 
     # map every block into the global (block-0) frame and fuse
-    n_img, n_tgt = problem.n_img, problem.n_targets
+    n_img = problem.n_img
     eop_acc = np.zeros((n_img, 6))
     eop_w = np.zeros(n_img)
-    pt_acc = np.zeros((n_tgt, 3))
-    pt_w = np.zeros(n_tgt)
-    obs_per_tgt = np.bincount(problem.obs_pt, minlength=n_tgt).astype(np.float64)
+    mapped_pts = []
     for b, (sb, res) in enumerate(zip(subs, results)):
         s, R, t = _vec_to_sim(xi[b])
         eop_b, pts_b = _apply_similarity_to_block(res, sb, s, R, t)
         eop_acc[sb.img_idx] += eop_b  # each image lives in exactly one block
         eop_w[sb.img_idx] += 1.0
-        w = np.maximum(obs_per_tgt[sb.tie_tgt_global], 1.0)
-        pt_acc[sb.tie_tgt_global] += pts_b * w[:, None]
-        pt_w[sb.tie_tgt_global] += w
+        mapped_pts.append(pts_b)
     eop = eop_acc / np.maximum(eop_w, 1.0)[:, None]
-    points = np.where(
-        pt_w[:, None] > 0, pt_acc / np.maximum(pt_w, 1.0)[:, None], problem.cnt_xyz
-    )
+    points = fuse_block_points(problem, subs, mapped_pts)
 
     out = PoseGraphResult(eop=eop, points=points, block_results=results, edges=edges)
     if refine:

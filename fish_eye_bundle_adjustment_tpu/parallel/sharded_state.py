@@ -53,7 +53,9 @@ from fish_eye_bundle_adjustment_tpu.solver.schur import (
     ObsData,
     SchurKernel,
     SchurOptions,
+    _expand_sym,
     _finalize,
+    _pcg,
     _segsum,
     run_gn_loop,
     unpermute_v,
@@ -61,17 +63,6 @@ from fish_eye_bundle_adjustment_tpu.solver.schur import (
 from fish_eye_bundle_adjustment_tpu.utils.layout import ParamLayout
 
 AX = OBS_AXIS  # one mesh axis serves both the obs shards and pose slices
-
-
-def _expand_sym(sym, k):
-    """(m, k(k+1)/2) symmetric columns -> (m, k, k)."""
-    pairs = [(e, f) for e in range(k) for f in range(e, k)]
-    out = jnp.zeros(sym.shape[:1] + (k, k), sym.dtype)
-    for idx, (e, f) in enumerate(pairs):
-        out = out.at[:, e, f].set(sym[:, idx])
-        if e != f:
-            out = out.at[:, f, e].set(sym[:, idx])
-    return out
 
 
 def make_sharded_camera_step(problem: BAProblem, mesh,
@@ -144,47 +135,17 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
             return jax.lax.psum(out, AX)
 
         # ---- sharded block-Jacobi preconditioner ----------------------
-        # pose diagonal of S (with the Hpp^-1 correction), per local image
-        pairs = [(e, f) for e in range(ne) for f in range(e, ne)]
-        cols = [
-            wx * fac.Jex[:, e] * fac.Jex[:, f]
-            + wy * fac.Jey[:, e] * fac.Jey[:, f]
-            for e, f in pairs
-        ]
-        if kernel.n_tie:
-            Hg = fac.Hpi_flat[obs_l.tie]
-            B = [
-                [
-                    wx * fac.Jex[:, e] * fac.Jpx[:, p]
-                    + wy * fac.Jey[:, e] * fac.Jpy[:, p]
-                    for p in range(3)
-                ]
-                for e in range(ne)
-            ]
-            C = [
-                [sum(B[e][p] * Hg[:, 3 * p + qq] for p in range(3))
-                 for qq in range(3)]
-                for e in range(ne)
-            ]
-            for idx, (e, f) in enumerate(pairs):
-                cols[idx] = cols[idx] - sum(
-                    C[e][qq] * B[f][qq] for qq in range(3)
-                )
-        pose_blocks = _expand_sym(img_scatter(jnp.stack(cols, 1)), ne)
+        # pose diagonal of S (with the Hpp^-1 correction), per local image:
+        # the shared per-observation sym columns (SchurFactors) reduced
+        # into this device's image slice
+        pose_blocks = _expand_sym(img_scatter(fac.pose_precond_sym()), ne)
         # padded image slots have all-zero blocks: make them identity so
         # the inverse is finite (their CG rows are identically zero)
         empty = (jnp.abs(pose_blocks).sum((1, 2)) == 0)[:, None, None]
         eye = jnp.eye(ne, dtype=pose_blocks.dtype)
         pose_inv = jnp.linalg.inv(pose_blocks + jnp.where(empty, eye, 1e-300 * eye))
-        iop_sym = jnp.stack(
-            [
-                wx * fac.Jix[:, e] * fac.Jix[:, f]
-                + wy * fac.Jiy[:, e] * fac.Jiy[:, f]
-                for e in range(ni) for f in range(e, ni)
-            ], 1,
-        ) if ni else jnp.zeros((obs_l.n, 0), q.dtype)
         if ni:
-            iop_blocks = _expand_sym(iop_reduce(iop_sym), ni)
+            iop_blocks = _expand_sym(iop_reduce(fac.iop_precond_sym()), ni)
             iop_inv = jnp.linalg.inv(
                 iop_blocks + 1e-300 * jnp.eye(ni, dtype=iop_blocks.dtype)
             )
@@ -277,8 +238,8 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
               .reshape(-1) if ni else jnp.zeros((0,), q.dtype)),
         )
 
-        dc_sh, cg_iters, _ = _pcg_tree(
-            matvec, rhs, precond, project, dot, cg_tol, opts.cg_maxiter
+        dc_sh, cg_iters, _ = _pcg(
+            matvec, rhs, precond, project, cg_tol, opts.cg_maxiter, dot=dot
         )
         dp_full = jax.lax.all_gather(dc_sh[0], AX, axis=0, tiled=True)[:n_img]
         dc = jnp.concatenate([dp_full.reshape(-1), dc_sh[1]])
@@ -306,62 +267,6 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
         )
     )
     return step, obs, layout, order
-
-
-def _pcg_tree(matvec, b, precond, project, dot, tol, maxiter, unroll=8):
-    """Projected preconditioned CG on a (pose_shard, iop) state tree —
-    same masked-unrolled semantics as solver.schur._pcg, with the inner
-    product supplied (sharded pose part psum'd, replicated IOP part added
-    once)."""
-    add = lambda a, b_: jax.tree.map(jnp.add, a, b_)
-    sub = lambda a, b_: jax.tree.map(jnp.subtract, a, b_)
-    scl = lambda c, a: jax.tree.map(lambda l: c * l, a)
-    where = lambda m, a, b_: jax.tree.map(
-        lambda x, y: jnp.where(m, x, y), a, b_
-    )
-
-    b = project(b)
-    bnorm2 = dot(b, b)
-    tol2 = tol * tol * bnorm2
-
-    def mv(v):
-        return project(matvec(project(v)))
-
-    def masked_iter(state):
-        i, x, r, z, p, rz = state
-        rn2 = dot(r, r)
-        active = jnp.logical_and(rn2 > tol2, i < maxiter)
-        Ap = mv(p)
-        pAp = dot(p, Ap)
-        alpha = jnp.where(active, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
-        x = add(x, scl(alpha, p))
-        r = sub(r, scl(alpha, Ap))
-        z = project(precond(r))
-        rz_new = dot(r, z)
-        beta = jnp.where(active, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
-        p = where(active, add(z, scl(beta, p)), p)
-        rz = jnp.where(active, rz_new, rz)
-        return i + active.astype(jnp.int32), x, r, z, p, rz
-
-    x0 = jax.tree.map(jnp.zeros_like, b)
-    z0 = project(precond(b))
-    state = (jnp.int32(0), x0, b, z0, z0, dot(b, z0))
-    if maxiter <= 2 * unroll:
-        for _ in range(maxiter):
-            state = masked_iter(state)
-    else:
-        def cond(state):
-            i, x, r, *_ = state
-            return jnp.logical_and(i < maxiter, dot(r, r) > tol2)
-
-        def block(state):
-            for _ in range(unroll):
-                state = masked_iter(state)
-            return state
-
-        state = jax.lax.while_loop(cond, block, state)
-    i, x, r, *_ = state
-    return x, i, jnp.sqrt(dot(r, r) / bnorm2)
 
 
 def solve_schur_sharded_state(

@@ -85,6 +85,14 @@ def _fmt_e(v, width=14, dec=5):
     return f"{v:<{width}.{dec}e}"
 
 
+def _fmt_sd(v, width=14, dec=5, exp=False):
+    """Standard-deviation cell: 'n/a' when the solver produced no stds
+    (solver/covariance.py past its size gate) instead of literal NaN."""
+    if not np.isfinite(v):
+        return f"{'n/a':<{width}s}"
+    return _fmt_e(v, width, dec) if exp else _fmt(v, width, dec)
+
+
 def _corr_block(names: List[str], mat: np.ndarray) -> str:
     """Lower-triangular correlation sub-matrix print (main.m:832-843)."""
     out = ["".join(f"{'':<6}" if i == 0 else f"{n[:2]:<6}" for i, n in enumerate([""] + names))]
@@ -221,7 +229,7 @@ def write_reports(
                 val, sd = x[idx], std[idx]
                 if col >= 3:  # angles -> degrees (main.m:750-767)
                     val, sd = val * RAD2DEG, sd * RAD2DEG
-                f.write(f"{active_eop_labels[local]:<14.5s}{_fmt(val)}{_fmt(sd)}\n")
+                f.write(f"{active_eop_labels[local]:<14.5s}{_fmt(val)}{_fmt_sd(sd)}\n")
 
         # per-camera IOPs + correlation sub-matrix (main.m:771-864)
         f.write(
@@ -248,9 +256,9 @@ def write_reports(
                 idx = start + local
                 label = iop_labels[col]
                 if col >= 3:  # distortion terms in scientific notation (printDist)
-                    f.write(f"{label:<14.5s}{_fmt_e(x[idx])}{_fmt_e(std[idx])}\n")
+                    f.write(f"{label:<14.5s}{_fmt_e(x[idx])}{_fmt_sd(std[idx], exp=True)}\n")
                 else:
-                    f.write(f"{label:<14.5s}{_fmt(x[idx])}{_fmt(std[idx])}\n")
+                    f.write(f"{label:<14.5s}{_fmt(x[idx])}{_fmt_sd(std[idx])}\n")
             if corr is not None and ni > 0:
                 f.write("\nIOP Correlation sub-matrix\n" + "-" * 31 + "\n")
                 sub = corr[start : start + ni, start : start + ni]
@@ -273,12 +281,12 @@ def write_reports(
                 f.write(
                     f"{problem.tie_ids[t]:<14s}{n_im:<14d}"
                     + "".join(_fmt(v) for v in xyz)
-                    + "".join(_fmt(s) for s in sd)
+                    + "".join(_fmt_sd(s) for s in sd)
                     + "\n"
                 )
             mean_std = np.sqrt(var_sum / layout.n_tie)
             f.write("\n\t\tMeanStd X\tMeanStd Y\tMeanStd Z\n")
-            f.write("\t\t" + "".join(_fmt(v) for v in mean_std) + "\n")
+            f.write("\t\t" + "".join(_fmt_sd(v) for v in mean_std) + "\n")
 
         # corrected image measurements (main.m:891-895)
         f.write(
@@ -347,6 +355,7 @@ def write_reports(
             start = layout.iop_offset + ci * ni
             for local, col in enumerate(layout.iop_cols):
                 idx = start + local
-                f.write(f"{iop_labels[col]}\t{x[idx]:.10g}\t{std[idx]:.10g}\n")
+                sd = f"{std[idx]:.10g}" if np.isfinite(std[idx]) else "n/a"
+                f.write(f"{iop_labels[col]}\t{x[idx]:.10g}\t{sd}\n")
 
     return {"out": out_path, "rsd": rsd_path, "par": par_path}

@@ -67,6 +67,17 @@ def _segsum(vals, idx, num, sorted_idx: bool = False):
     )
 
 
+def _expand_sym(sym, k):
+    """(m, k(k+1)/2) symmetric columns -> (m, k, k)."""
+    pairs = [(e, f) for e in range(k) for f in range(e, k)]
+    out = jnp.zeros(sym.shape[:1] + (k, k), sym.dtype)
+    for idx, (e, f) in enumerate(pairs):
+        out = out.at[:, e, f].set(sym[:, idx])
+        if e != f:
+            out = out.at[:, f, e].set(sym[:, idx])
+    return out
+
+
 def _inv3x3(M):
     """Batched closed-form (adjugate) 3x3 inverse.
 
@@ -456,13 +467,16 @@ class SchurFactors:
         rhs = -self._point_applyT(wx * (self.rx + ax), wy * (self.ry + ay))
         return self._hpp_inv_apply(rhs)
 
-    def pose_precond_blocks(self):
-        """Exact Schur-Jacobi diagonal: per-image (ne,ne) blocks of S.
+    def pose_precond_sym(self):
+        """Per-observation symmetric columns (N, ne(ne+1)/2) of the
+        pose-diagonal Schur blocks (Hcc diag minus the Hpp^-1 correction),
+        UN-reduced — the single-device path reduces with the plan, the
+        sharded-state path with psum_scatter.
 
         Each (image, point) pair is observed once, so the diagonal Schur
         correction Sum_o Je_o' W Jp_o Hpp^-1 Jp_o' W Je_o is one segment
-        sum over observations.  Assembled in symmetric-column form (N, 21)
-        to keep reduction operands 2-D."""
+        sum over observations.  Symmetric-column form keeps reduction
+        operands 2-D."""
         k = self.k
         ne = k.ne
         wx, wy = self._w
@@ -494,45 +508,46 @@ class SchurFactors:
             for idx, (e, f) in enumerate(pairs):
                 corr = sum(C[e][q] * B[f][q] for q in range(3))
                 cols[idx] = cols[idx] - corr
-        sym = jnp.stack(cols, axis=1)  # (N, ne(ne+1)/2)
+        return jnp.stack(cols, axis=1)  # (N, ne(ne+1)/2)
+
+    def iop_precond_sym(self):
+        """Per-observation symmetric columns (N, ni(ni+1)/2) of the IOP
+        diagonal blocks, un-reduced (see pose_precond_sym)."""
+        k = self.k
+        ni = k.ni
+        wx, wy = self._w
+        return jnp.stack(
+            [
+                wx * self.Jix[:, e] * self.Jix[:, f]
+                + wy * self.Jiy[:, e] * self.Jiy[:, f]
+                for e in range(ni) for f in range(e, ni)
+            ],
+            axis=1,
+        )
+
+    def pose_precond_blocks(self):
+        """Exact Schur-Jacobi diagonal: per-image (ne,ne) blocks of S."""
+        k = self.k
+        sym = self.pose_precond_sym()
         if self.obs.plan is not None:
             out_sym = self.obs.plan.secondary_sum(sym)
         else:
             out_sym = _segsum(sym, self.obs.img, k.n_img, sorted_idx=k.sorted_img)
-        out_sym = k.reduce(out_sym)
-        # expand symmetric columns to (n_img, ne, ne)
-        out = jnp.zeros((k.n_img, ne, ne), out_sym.dtype)
-        for idx, (e, f) in enumerate(pairs):
-            out = out.at[:, e, f].set(out_sym[:, idx])
-            if e != f:
-                out = out.at[:, f, e].set(out_sym[:, idx])
+        out = _expand_sym(k.reduce(out_sym), k.ne)
         if k.opts.camera_damping:
-            out = out + k.opts.camera_damping * jnp.eye(ne, dtype=out.dtype)
+            out = out + k.opts.camera_damping * jnp.eye(k.ne, dtype=out.dtype)
         return out
 
     def iop_precond_blocks(self):
         k = self.k
-        ni = k.ni
-        wx, wy = self._w
-        pairs = [(e, f) for e in range(ni) for f in range(e, ni)]
-        cols = [
-            wx * self.Jix[:, e] * self.Jix[:, f]
-            + wy * self.Jiy[:, e] * self.Jiy[:, f]
-            for e, f in pairs
-        ]
-        sym = jnp.stack(cols, axis=1)
+        sym = self.iop_precond_sym()
         if k.n_cam == 1:
             out_sym = jnp.sum(sym, axis=0, keepdims=True)
         else:
             out_sym = _segsum(sym, self.obs.cam, k.n_cam)
-        out_sym = k.reduce(out_sym)
-        out = jnp.zeros((k.n_cam, ni, ni), out_sym.dtype)
-        for idx, (e, f) in enumerate(pairs):
-            out = out.at[:, e, f].set(out_sym[:, idx])
-            if e != f:
-                out = out.at[:, f, e].set(out_sym[:, idx])
+        out = _expand_sym(k.reduce(out_sym), k.ni)
         if k.opts.camera_damping:
-            out = out + k.opts.camera_damping * jnp.eye(ni, dtype=out.dtype)
+            out = out + k.opts.camera_damping * jnp.eye(k.ni, dtype=out.dtype)
         return out
 
     def make_preconditioner(self):
@@ -562,24 +577,39 @@ class SchurFactors:
 _CG_UNROLL = 8  # iterations fused per while_loop trip (see _pcg)
 
 
-def _pcg(matvec, b, precond, project, tol, maxiter):
+def _pcg(matvec, b, precond, project, tol, maxiter, dot=None):
     """Projected preconditioned CG with masked-unrolled iterations.
 
     `project` restricts iterates to null(G^T) for free-network solves
     (identity otherwise).
 
+    The state is an arbitrary pytree (the flat single-device case is the
+    trivial one-leaf instance); `dot` supplies the inner product —
+    defaulting to the flat jnp.vdot, while the sharded-camera-state solver
+    (parallel/sharded_state.py) passes a psum-reducing dot over its
+    (pose_shard, iop) tree.
+
     A plain lax.while_loop body costs ~8.5 ms/iteration of loop overhead
-    on the v5e chip beyond the ~11.6 ms matvec (measured at 1M obs;
-    scan/fori are identical) — XLA cannot pipeline or CSE across the loop
-    boundary.  So iterations are unrolled in blocks of _CG_UNROLL with
-    per-iteration masking (alpha/beta forced to 0 once ||r|| <= tol||b||
-    or the iteration budget is spent, making converged iterations exact
-    no-ops), and the while_loop steps over blocks.  Small static budgets
+    on the v5e chip beyond the matvec (measured at 1M obs; scan/fori are
+    identical) — XLA cannot pipeline or CSE across the loop boundary.  So
+    iterations are unrolled in blocks of _CG_UNROLL with per-iteration
+    masking (alpha/beta forced to 0 once ||r|| <= tol||b|| or the
+    iteration budget is spent, making converged iterations exact no-ops),
+    and the while_loop steps over blocks.  Small static budgets
     (maxiter <= 2*_CG_UNROLL, the adaptive-forcing regime) unroll fully
     with no loop at all.  Semantics match the classic guarded loop: same
     updates while active, stop by tol or maxiter exactly."""
+    if dot is None:
+        dot = jnp.vdot
+    add = lambda a, b_: jax.tree.map(jnp.add, a, b_)
+    sub = lambda a, b_: jax.tree.map(jnp.subtract, a, b_)
+    scl = lambda c, a: jax.tree.map(lambda l: c * l, a)
+    where = lambda m, a, b_: jax.tree.map(
+        lambda u, v: jnp.where(m, u, v), a, b_
+    )
+
     b = project(b)
-    bnorm2 = jnp.vdot(b, b)
+    bnorm2 = dot(b, b)
     tol2 = tol * tol * bnorm2
 
     def mv(v):
@@ -587,24 +617,23 @@ def _pcg(matvec, b, precond, project, tol, maxiter):
 
     def masked_iter(state):
         i, x, r, z, p, rz = state
-        rn2 = jnp.vdot(r, r)
+        rn2 = dot(r, r)
         active = jnp.logical_and(rn2 > tol2, i < maxiter)
         Ap = mv(p)
-        pAp = jnp.vdot(p, Ap)
+        pAp = dot(p, Ap)
         alpha = jnp.where(active, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
-        x = x + alpha * p
-        r = r - alpha * Ap
+        x = add(x, scl(alpha, p))
+        r = sub(r, scl(alpha, Ap))
         z = project(precond(r))
-        rz_new = jnp.vdot(r, z)
+        rz_new = dot(r, z)
         beta = jnp.where(active, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
-        p = jnp.where(active, z + beta * p, p)
+        p = where(active, add(z, scl(beta, p)), p)
         rz = jnp.where(active, rz_new, rz)
         return i + active.astype(jnp.int32), x, r, z, p, rz
 
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    z0 = project(precond(r0))
-    state = (jnp.int32(0), x0, r0, z0, z0, jnp.vdot(r0, z0))
+    x0 = jax.tree.map(jnp.zeros_like, b)
+    z0 = project(precond(b))
+    state = (jnp.int32(0), x0, b, z0, z0, dot(b, z0))
 
     if maxiter <= 2 * _CG_UNROLL:
         for _ in range(maxiter):
@@ -612,7 +641,7 @@ def _pcg(matvec, b, precond, project, tol, maxiter):
     else:
         def cond(state):
             i, x, r, *_ = state
-            return jnp.logical_and(i < maxiter, jnp.vdot(r, r) > tol2)
+            return jnp.logical_and(i < maxiter, dot(r, r) > tol2)
 
         def block(state):
             for _ in range(_CG_UNROLL):
@@ -621,7 +650,7 @@ def _pcg(matvec, b, precond, project, tol, maxiter):
 
         state = jax.lax.while_loop(cond, block, state)
     i, x, r, *_ = state
-    return x, i, jnp.sqrt(jnp.vdot(r, r) / bnorm2)
+    return x, i, jnp.sqrt(dot(r, r) / bnorm2)
 
 
 def make_projection_builder(layout, nc, use_ic: bool):

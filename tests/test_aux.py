@@ -53,6 +53,7 @@ class TestCheckpoint:
         with pytest.raises(ValueError, match="different problem"):
             ck.load_checkpoint(p, block.problem)
 
+    @pytest.mark.slow
     def test_resume_mid_solve(self, tmp_path, block):
         """Interrupt after 2 iterations, resume, converge to the same
         solution as an uninterrupted run."""
@@ -91,6 +92,7 @@ class TestDivergence:
 
 
 class TestProgress:
+    @pytest.mark.slow
     def test_records_emitted(self, block):
         recs = []
         res = solve_schur(

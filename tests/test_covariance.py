@@ -26,11 +26,13 @@ def _compare(problem, rel_tol=1e-8):
     return rd, rs
 
 
+@pytest.mark.slow
 def test_cam0_schur_stds_match_dense(cam0_problem):
     """Shipped cam0 config: pinhole, self-calibration, inner constraints."""
     _compare(cam0_problem)
 
 
+@pytest.mark.slow
 def test_synth_no_constraints_stds():
     blk = make_block(
         n_img=8, n_pts=150, model="fisheye", seed=3,
@@ -40,6 +42,7 @@ def test_synth_no_constraints_stds():
     _compare(blk.problem)
 
 
+@pytest.mark.slow
 def test_synth_multicam_stds():
     """Two-camera rig exercises the per-camera IOP cross blocks."""
     blk = make_block(

@@ -9,6 +9,9 @@ rounding floor is far below the estimation noise floor.
 """
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from fish_eye_bundle_adjustment_tpu.solver.schur import SchurOptions, solve_schur
 from fish_eye_bundle_adjustment_tpu.synth import make_block

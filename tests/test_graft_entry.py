@@ -11,6 +11,7 @@ import sys
 from pathlib import Path
 
 import jax
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
@@ -31,6 +32,7 @@ def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)  # asserts internally on finite deltas
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_uneven_device_count():
     # driver may probe other counts; padding must handle non-divisors
     graft.dryrun_multichip(4)

@@ -13,6 +13,7 @@ class TestCam0Parity:
     """The matrix-free projected Schur-PCG must reproduce the dense bordered
     KKT solution (same math, different factorization order)."""
 
+    @pytest.mark.slow
     def test_matches_dense_exact_cg(self, cam0_problem):
         """Tight CG every iteration reproduces the dense path step-for-step."""
         rd = solve_dense(cam0_problem, compute_covariance=False)
@@ -25,6 +26,7 @@ class TestCam0Parity:
         assert abs(rs.sigma02 - rd.sigma02) < 1e-10
         assert abs(rs.rms - rd.rms) < 1e-12
 
+    @pytest.mark.slow
     def test_matches_dense_adaptive(self, cam0_problem):
         """Inexact-Newton forcing (default) converges to the same solution,
         possibly with an extra cheap outer iteration."""
@@ -41,12 +43,14 @@ class TestSynthetic:
     def block(self):
         return make_block(n_img=25, n_pts=800, model="fisheye", seed=3)
 
+    @pytest.mark.slow
     def test_convergence_and_noise_recovery(self, block):
         res = solve_schur(block.problem)
         assert res.converged
         # sigma02 ~ 1 when the noise model matches Meas_std
         assert 0.8 < res.sigma02 < 1.2
 
+    @pytest.mark.slow
     def test_improves_on_initialization(self, block):
         p = block.problem
         res = solve_schur(p)
@@ -59,12 +63,14 @@ class TestSynthetic:
         assert np.median(err_est) < 0.5 * np.median(err_init)
 
     @pytest.mark.parametrize("model", ["pinhole", "equisolid", "orthographic", "stereographic"])
+    @pytest.mark.slow
     def test_all_models(self, model):
         blk = make_block(n_img=16, n_pts=400, model=model, seed=7)
         res = solve_schur(blk.problem)
         assert res.converged, model
         assert 0.6 < res.sigma02 < 1.5, model
 
+    @pytest.mark.slow
     def test_control_point_datum(self):
         """Fixed-control datum (no inner constraints) also solves."""
         blk = make_block(
@@ -75,6 +81,7 @@ class TestSynthetic:
         res = solve_schur(blk.problem)
         assert res.converged
 
+    @pytest.mark.slow
     def test_block_roundtrip_through_files(self, tmp_path):
         """write_block -> io parsers -> same problem (data contract check)."""
         from fish_eye_bundle_adjustment_tpu.io.problem import load_problem
@@ -96,6 +103,7 @@ class TestMultiCamera:
     """n_cam > 1 exercises per-camera IOP blocks, gathers, and rmax scaling
     (the reference supports multiple 2-row .int entries, main.m:229-256)."""
 
+    @pytest.mark.slow
     def test_three_cameras_self_calibration(self):
         blk = make_block(
             n_img=24, n_pts=600, n_cams=3, seed=41,
@@ -115,6 +123,7 @@ class TestMultiCamera:
             c_est = rs.x[lay.iop_slot(ci, 2)]
             assert abs(c_est - 1200.0 * (1 + 0.05 * ci)) < 0.5, ci
 
+    @pytest.mark.slow
     def test_multicam_file_roundtrip(self, tmp_path):
         from fish_eye_bundle_adjustment_tpu.io.problem import load_problem
 

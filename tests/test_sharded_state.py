@@ -4,6 +4,9 @@ item 6: psum_scatter pose reductions + all_gather obs-side gather must
 reproduce the replicated arithmetic)."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from fish_eye_bundle_adjustment_tpu.parallel.mesh import make_mesh
 from fish_eye_bundle_adjustment_tpu.parallel.sharded_state import (
