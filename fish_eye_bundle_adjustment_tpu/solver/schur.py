@@ -210,6 +210,13 @@ class SchurOptions:
     camera_damping: float = 0.0  # optional LM damping on the reduced system
     dtype: np.dtype = np.float64
     obs_order: Optional[str] = "tie"  # None | "img" | "tie" observation sort
+    # Explicitly materialize the dense reduced camera system S once per GN
+    # step (solver/explicit.py) so CG matvecs become dense GEMVs instead of
+    # per-observation stream passes.  None -> auto: on when n_img <=
+    # explicit_s_max_images (dense S memory is 36*nc^2 floats) and the
+    # observation order is "tie" (the pair plan needs the sorted stream).
+    explicit_s: Optional[bool] = None
+    explicit_s_max_images: int = 2500
     # Inexact-Newton forcing (Eisenstat-Walker style): the inner CG runs to
     # max(cg_tol, min(forcing_max, rel_progress^2)) — loose solves early in
     # the outer Gauss-Newton iteration, tight solves at the end, preserving
@@ -670,22 +677,43 @@ def make_projection_builder(layout, nc, use_ic: bool):
     return build
 
 
-def schur_step_fn(kernel: SchurKernel, layout: ParamLayout, use_ic: bool):
+def schur_step_fn(kernel: SchurKernel, layout: ParamLayout, use_ic: bool,
+                  pairs=None):
     """One Gauss-Newton step as a pure function of (x, obs) — the unit the
     single-device path jits directly and the distributed path wraps in
-    shard_map."""
+    shard_map.
+
+    With `pairs` (a solver.explicit.PairPlan), the reduced camera system is
+    materialized densely once per step and CG runs with GEMV matvecs and a
+    preconditioner read off S's diagonal; otherwise the matrix-free stream
+    matvec is used.  The returned step takes the plan as a TRACED argument
+    (`step(x, obs, cg_tol, pairs)`) — embedding the multi-million-element
+    pair index arrays as jit closure constants sends XLA's constant
+    machinery into multi-minute compiles."""
     opts = kernel.opts
     scale = jnp.asarray(layout.scale, dtype=opts.dtype)
     project_builder = make_projection_builder(layout, kernel.nc, use_ic)
+    explicit = pairs is not None
 
-    def step(x, obs: ObsData, cg_tol):
+    def step(x, obs: ObsData, cg_tol, pair_arg=None):
         q = x * scale
         fac = kernel.linearize(q, obs)
         project = project_builder(q)
-        precond = fac.make_preconditioner()
+        if explicit:
+            from fish_eye_bundle_adjustment_tpu.solver.explicit import (
+                build_dense_S,
+                dense_precond,
+            )
+
+            S = build_dense_S(fac, pair_arg)
+            matvec = lambda v: S @ v
+            precond = dense_precond(S, kernel)
+        else:
+            matvec = fac.schur_matvec
+            precond = fac.make_preconditioner()
         rhs = fac.reduced_rhs()
         dc, cg_iters, cg_rel = _pcg(
-            fac.schur_matvec, rhs, precond, project, cg_tol, opts.cg_maxiter
+            matvec, rhs, precond, project, cg_tol, opts.cg_maxiter
         )
         dp = fac.back_substitute(dc)
         delta_q = jnp.concatenate([dc, dp.reshape(-1)])
@@ -823,6 +851,26 @@ def _finalize(problem, layout, x, history, delta_history, v_np, stats, count,
     )
 
 
+def make_pair_plan(problem, layout, opts: SchurOptions, order):
+    """Build the static observation-pair plan for the explicit dense-S path
+    when it applies (see SchurOptions.explicit_s); None otherwise."""
+    explicit = opts.explicit_s
+    if explicit is None:
+        explicit = (
+            problem.n_img <= opts.explicit_s_max_images and order is not None
+        )
+    if not explicit or layout.n_eop == 0 or layout.n_tie == 0:
+        return None
+    if order is None:
+        raise ValueError("explicit_s requires the tie-sorted obs order")
+    from fish_eye_bundle_adjustment_tpu.solver.explicit import PairPlan
+
+    tie = problem.target_tie_slot[problem.obs_pt]
+    tie = np.where(tie >= 0, tie, layout.n_tie).astype(np.int64)[order]
+    img = problem.obs_img[order]
+    return PairPlan.build(tie, img, layout.n_tie, layout.n_img)
+
+
 def solve_schur(
     problem: BAProblem,
     options: Optional[SchurOptions] = None,
@@ -858,7 +906,9 @@ def solve_schur(
         problem, layout, dtype=opts.dtype, order=order,
         with_plan=order is not None,
     )
-    step = jax.jit(schur_step_fn(kernel, layout, use_ic))
+    pairs = make_pair_plan(problem, layout, opts, order)
+    base_step = jax.jit(schur_step_fn(kernel, layout, use_ic, pairs=pairs))
+    step = lambda x, o, tol: base_step(x, o, tol, pairs)
 
     x, history, delta_history, v_local, stats, count, converged, elapsed = (
         run_gn_loop(
