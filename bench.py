@@ -35,21 +35,33 @@ import sys
 import time
 
 
-def _build(n_img, n_pts, seed=2):
+SELFCAL = {
+    "estimate_c": True,
+    "estimate_xp": True,
+    "estimate_yp": True,
+    "estimate_radial": True,
+    "estimate_decent": True,
+}
+
+
+def _build(n_img, n_pts, seed=2, selfcal=False):
     from fish_eye_bundle_adjustment_tpu.synth import make_block
 
+    overrides = {"inner_constraints": False}
+    if selfcal:
+        overrides.update(SELFCAL)
     blk = make_block(
         n_img=n_img,
         n_pts=n_pts,
         model="fisheye",
         seed=seed,
-        settings_overrides={"inner_constraints": False},
+        settings_overrides=overrides,
         control_frac=0.01,
     )
     return blk.problem
 
 
-def _make_step(problem, dtype, cg_maxiter=10):
+def _make_step(problem, dtype, cg_maxiter=10, use_explicit=False):
     """The exact production configuration solve_schur uses: tie-sorted
     observations with the scatter-free DualAxisPlan reductions."""
     import numpy as np
@@ -64,6 +76,10 @@ def _make_step(problem, dtype, cg_maxiter=10):
     )
     from fish_eye_bundle_adjustment_tpu.utils.layout import ParamLayout
 
+    from dataclasses import replace as dataclasses_replace
+
+    from fish_eye_bundle_adjustment_tpu.solver.schur import make_pair_plan
+
     opts = SchurOptions(
         dtype=dtype, cg_maxiter=cg_maxiter, cg_tol=1e-6, obs_order="tie"
     )
@@ -73,7 +89,23 @@ def _make_step(problem, dtype, cg_maxiter=10):
     obs = ObsData.from_problem(
         problem, layout, dtype=dtype, order=order, with_plan=True
     )
-    step = jax.jit(schur_step_fn(kernel, layout, False))
+    # Headline uses the matrix-free stream matvec (measured faster than the
+    # explicit dense-S build at 1k img with 10 CG iters/step — BASELINE.md
+    # r3); the explicit path is timed separately below.
+    pairs = (
+        make_pair_plan(
+            problem, layout,
+            dataclasses_replace(opts, explicit_s=True), order,
+        )
+        if use_explicit
+        else None
+    )
+    raw = schur_step_fn(kernel, layout, False, pairs=pairs)
+    if pairs is not None:
+        jit_raw = jax.jit(raw)
+        step = lambda x, obs_, tol: jit_raw(x, obs_, tol, pairs)
+    else:
+        step = jax.jit(raw)
     x0 = jnp.asarray(layout.initial().astype(dtype))
     return step, x0, obs, layout
 
@@ -141,22 +173,57 @@ def main(argv=None):
         tpu_shape, cpu_shape = (1000, 100_000), (128, 10_000)
 
     # TPU (default backend) ------------------------------------------------
-    prob_tpu = _build(*tpu_shape)
+    # Headline: the full self-calibrating adjustment (the reference's
+    # flagship stage-3 mode, README.md:4-10) — per-camera IOP/distortion
+    # unknowns are in the measured hot loop.  The EOP+tie-only step is
+    # reported alongside (r2's headline config).
+    prob_tpu = _build(*tpu_shape, selfcal=True)
     step, x0, obs, layout = _make_step(prob_tpu, np.float32)
     t_step = _time_steps(step, x0, obs, np.float32, steps=args.steps)
     tpu_obs_s = prob_tpu.n_obs / t_step
     print(
-        f"# TPU: {prob_tpu.n_img} img / {prob_tpu.n_tie} tie / "
-        f"{prob_tpu.n_obs} obs, f32 step = {t_step*1e3:.1f} ms "
+        f"# TPU selfcal: {prob_tpu.n_img} img / {prob_tpu.n_tie} tie / "
+        f"{prob_tpu.n_obs} obs / u={layout.u}, f32 step = {t_step*1e3:.1f} ms "
         f"-> {tpu_obs_s:,.0f} obs/s",
         file=sys.stderr,
     )
 
+    prob_eop = _build(*tpu_shape, selfcal=False)
+    estep, ex0, eobs, _elay = _make_step(prob_eop, np.float32)
+    t_eop = _time_steps(estep, ex0, eobs, np.float32, steps=args.steps)
+    eop_obs_s = prob_eop.n_obs / t_eop
+    print(
+        f"# TPU eop+tie: f32 step = {t_eop*1e3:.1f} ms "
+        f"-> {eop_obs_s:,.0f} obs/s",
+        file=sys.stderr,
+    )
+
+    # explicit dense-S path (S materialized once/step, GEMV matvecs) —
+    # reported for the record; loses to the stream matvec at this scale
+    t_exp = None
+    try:
+        xstep, xx0, xobs, _xlay = _make_step(
+            prob_tpu, np.float32, use_explicit=True
+        )
+        t_exp = _time_steps(xstep, xx0, xobs, np.float32, steps=3)
+        print(
+            f"# TPU selfcal explicit-S: f32 step = {t_exp*1e3:.1f} ms",
+            file=sys.stderr,
+        )
+        result_explicit_ms = round(t_exp * 1e3, 2)
+    except Exception as e:
+        print(f"# explicit-S path unavailable: {e}", file=sys.stderr)
+        result_explicit_ms = None
+
     result = {
-        "metric": "schur_gn_step_observations_per_second",
+        "metric": "selfcal_schur_gn_step_observations_per_second",
         "value": round(tpu_obs_s, 1),
         "unit": "obs/s",
         "vs_baseline": None,
+        "step_ms": round(t_step * 1e3, 2),
+        "eop_tie_observations_per_second": round(eop_obs_s, 1),
+        "eop_tie_step_ms": round(t_eop * 1e3, 2),
+        "explicit_s_step_ms": result_explicit_ms,
     }
 
     # f32 convergence at benchmark scale (same compiled executable) --------
@@ -178,17 +245,27 @@ def main(argv=None):
     if not args.skip_cpu:
         try:
             cpu_dev = jax.devices("cpu")[0]
-            prob_cpu = _build(*cpu_shape)
             with jax.default_device(cpu_dev):
+                prob_cpu = _build(*cpu_shape, selfcal=True)
                 cstep, cx0, cobs, _ = _make_step(prob_cpu, np.float64)
                 t_cpu = _time_steps(cstep, cx0, cobs, np.float64, steps=3)
-            cpu_obs_s = prob_cpu.n_obs / t_cpu
-            print(
-                f"# CPU: {prob_cpu.n_obs} obs, f64 step = {t_cpu*1e3:.1f} ms "
-                f"-> {cpu_obs_s:,.0f} obs/s",
-                file=sys.stderr,
-            )
-            result["vs_baseline"] = round(tpu_obs_s / cpu_obs_s, 2)
+                cpu_obs_s = prob_cpu.n_obs / t_cpu
+                print(
+                    f"# CPU selfcal: {prob_cpu.n_obs} obs, f64 step = "
+                    f"{t_cpu*1e3:.1f} ms -> {cpu_obs_s:,.0f} obs/s",
+                    file=sys.stderr,
+                )
+                result["vs_baseline"] = round(tpu_obs_s / cpu_obs_s, 2)
+                prob_ce = _build(*cpu_shape, selfcal=False)
+                cestep, cex0, ceobs, _ = _make_step(prob_ce, np.float64)
+                t_ce = _time_steps(cestep, cex0, ceobs, np.float64, steps=3)
+                ce_obs_s = prob_ce.n_obs / t_ce
+                print(
+                    f"# CPU eop+tie: f64 step = {t_ce*1e3:.1f} ms "
+                    f"-> {ce_obs_s:,.0f} obs/s",
+                    file=sys.stderr,
+                )
+                result["eop_tie_vs_baseline"] = round(eop_obs_s / ce_obs_s, 2)
         except Exception as e:  # CPU backend unavailable: report TPU-only
             print(f"# CPU baseline unavailable: {e}", file=sys.stderr)
 

@@ -215,8 +215,13 @@ class SchurOptions:
     # per-observation stream passes.  None -> auto: on when n_img <=
     # explicit_s_max_images (dense S memory is 36*nc^2 floats) and the
     # observation order is "tie" (the pair plan needs the sorted stream).
+    # Measured on-chip (BASELINE.md r3): at 1k img / 1M obs the pair-stream
+    # build costs ~3x ten matrix-free matvecs (5.1M pair gathers + the
+    # (P,36) segment sum), so the auto gate stays at small problems where
+    # the exact dense preconditioner shortens CG instead; pass
+    # explicit_s=True to force it (e.g. ahead of dense-S covariance).
     explicit_s: Optional[bool] = None
-    explicit_s_max_images: int = 2500
+    explicit_s_max_images: int = 600
     # Inexact-Newton forcing (Eisenstat-Walker style): the inner CG runs to
     # max(cg_tol, min(forcing_max, rel_progress^2)) — loose solves early in
     # the outer Gauss-Newton iteration, tight solves at the end, preserving
