@@ -128,6 +128,7 @@ def solve_schur_distributed(
     progress_fn=None,
     checkpoint_path=None,
     checkpoint_every: int = 1,
+    compute_covariance: bool = True,
 ) -> DenseResult:
     """Drop-in distributed variant of solve_schur (same conventions and,
     by construction, the same arithmetic up to reduction order)."""
@@ -144,7 +145,22 @@ def solve_schur_distributed(
         )
     )
     v_np = unpermute_v(v_shard, order, problem.n_obs)
-    return _finalize(
+    result = _finalize(
         problem, layout, x, history, delta_history, v_np, np.asarray(stats),
         count, converged, elapsed, keep_history,
     )
+    if compute_covariance:
+        # stds at distributed scale (main.m:712-897 reports +-sigma
+        # always): exact block covariance when dense S fits, Hutchinson
+        # probe estimate past the gate — single-device, report-time.
+        from fish_eye_bundle_adjustment_tpu.solver.covariance import (
+            compute_stds,
+        )
+
+        std, Cc_q, _method = compute_stds(
+            problem, layout, result.x, result.sigma02
+        )
+        if std is not None:
+            result.std = std
+            result.Cc_q = Cc_q
+    return result

@@ -278,9 +278,10 @@ def solve_schur_sharded_state(
     progress_fn=None,
     checkpoint_path=None,
     checkpoint_every: int = 1,
+    compute_covariance: bool = True,
 ) -> DenseResult:
     """Drop-in distributed solve with sharded camera state (same result
-    contract as solve_schur_distributed)."""
+    contract as solve_schur_distributed, stds included)."""
     opts = options or SchurOptions()
     mesh = mesh if mesh is not None else make_mesh()
     step, obs, layout, order = make_sharded_camera_step(problem, mesh, opts)
@@ -293,7 +294,21 @@ def solve_schur_sharded_state(
         )
     )
     v_np = unpermute_v(v_shard, order, problem.n_obs)
-    return _finalize(
+    result = _finalize(
         problem, layout, x, history, delta_history, v_np, np.asarray(stats),
         count, converged, elapsed, keep_history,
     )
+    if compute_covariance:
+        # exact below the dense-S gate, Hutchinson estimate past it
+        # (main.m:712-897 reports +-sigma for every unknown, always)
+        from fish_eye_bundle_adjustment_tpu.solver.covariance import (
+            compute_stds,
+        )
+
+        std, Cc_q, _method = compute_stds(
+            problem, layout, result.x, result.sigma02
+        )
+        if std is not None:
+            result.std = std
+            result.Cc_q = Cc_q
+    return result

@@ -348,3 +348,144 @@ def schur_covariance(
     var_x = var_q / layout.scale**2 * sigma02
     std = np.sqrt(np.maximum(var_x, 0.0))
     return SchurCovariance(std=std, Cc_q=Cc)
+
+
+# ---------------------------------------------------------------------------
+# Selected-diagonal estimation past the dense-S gate (stds at scale)
+# ---------------------------------------------------------------------------
+
+def estimate_schur_stds(
+    problem: BAProblem,
+    layout: ParamLayout,
+    x: np.ndarray,
+    sigma02: float,
+    n_probe: int = 64,
+    seed: int = 0,
+    cg_tol: float = 1e-5,
+    cg_maxiter: int = 400,
+    dtype=np.float32,
+) -> np.ndarray:
+    """Hutchinson estimate of every unknown's standard deviation.
+
+    The reference reports +-sigma for every unknown unconditionally
+    (main.m:712-897); past the dense-S gate this estimates diag(N^-1)
+    with Rademacher probes through the matrix-free Schur machinery:
+
+        z = N^-1 e  via   zc = S^-1 (ec - Hcp Hpp^-1 ep)   (projected PCG)
+                          zp = Hpp^-1 ep - Hpp^-1 Hpc zc
+        diag(N^-1) ~ mean_k e_k * z_k
+
+    Per-entry relative error decays as ~sqrt(2/n_probe) scaled by the
+    off-diagonal mass of that row of N^-1 (see tests/test_estimated_stds
+    for the measured bound on a 500-unknown block).  With inner
+    constraints the probe solves run projected onto Null(G'), matching
+    the minimum-norm (free-network) covariance.
+
+    Cost: n_probe PCG solves at report time — independent of the GN
+    iteration count and embarrassingly parallel across probes.
+    """
+    from fish_eye_bundle_adjustment_tpu.solver.schur import (
+        ObsData,
+        SchurKernel,
+        SchurOptions,
+        _pcg,
+        make_projection_builder,
+    )
+
+    opts = SchurOptions(dtype=dtype, obs_order="tie")
+    kernel = SchurKernel(layout, opts, obs_order="tie")
+    order = ObsData.sort_order_by_tie(problem, layout)
+    obs = ObsData.from_problem(
+        problem, layout, dtype=dtype, order=order, with_plan=True
+    )
+    use_ic = problem.settings.inner_constraints
+    q = jnp.asarray((np.asarray(x) * layout.scale).astype(dtype))
+    nc, nt = kernel.nc, kernel.n_tie
+    project_builder = make_projection_builder(layout, nc, use_ic)
+
+    def solve_probe(q, obs, ec, ep):
+        fac = kernel.linearize(q, obs)
+        project = project_builder(q)
+        precond = fac.make_preconditioner()
+        wx, wy = fac._w
+        if nt:
+            y0 = fac._hpp_inv_apply(ep)
+            px, py = fac._point_apply(y0)
+            rhs = ec - fac._cam_applyT(wx * px, wy * py)
+        else:
+            rhs = ec
+        zc, _, _ = _pcg(
+            fac.schur_matvec, rhs, precond, project, cg_tol, cg_maxiter
+        )
+        if nt:
+            ax, ay = fac._cam_apply(zc)
+            t = fac._point_applyT(wx * ax, wy * ay)
+            zp = y0 - fac._hpp_inv_apply(t)
+        else:
+            zp = jnp.zeros((0, 3), zc.dtype)
+        # control variate: the block-Jacobi apply M ec has exactly known
+        # diagonal, so estimating only zc - M ec removes the dominant
+        # (near-diagonal) variance of the raw Hutchinson estimator
+        return zc - precond(ec), zp
+
+    def precond_apply(q, obs, v):
+        fac = kernel.linearize(q, obs)
+        return fac.make_preconditioner()(v)
+
+    jitted = jax.jit(solve_probe)
+    papply = jax.jit(precond_apply)
+
+    # exact diag of the block-Jacobi M: apply M to per-block-position
+    # indicator patterns (ne patterns cover every pose block at once,
+    # ni patterns the IOP blocks)
+    ne_, ni_ = kernel.ne, kernel.ni
+    n_img_, n_cam_ = kernel.n_img, kernel.n_cam
+    diagM = np.zeros(nc)
+    for j in range(max(ne_, ni_)):
+        pat = np.zeros(nc, dtype)
+        if j < ne_:
+            pat[j: n_img_ * ne_: ne_] = 1.0
+        if j < ni_:
+            pat[n_img_ * ne_ + j:: ni_] = 1.0
+        out = np.asarray(papply(q, obs, jnp.asarray(pat)), np.float64)
+        diagM += np.asarray(pat, np.float64) * out
+
+    rng = np.random.default_rng(seed)
+    acc = np.zeros(layout.u)
+    for _ in range(n_probe):
+        e = (rng.integers(0, 2, layout.u) * 2 - 1).astype(dtype)
+        ec = jnp.asarray(e[:nc])
+        ep = jnp.asarray(e[layout.tie_offset:].reshape(nt, 3))
+        zc, zp = jitted(q, obs, ec, ep)
+        z = np.concatenate(
+            [np.asarray(zc, np.float64),
+             np.asarray(zp, np.float64).reshape(-1)]
+        )
+        acc += e.astype(np.float64) * z
+    var_q = acc / n_probe
+    var_q[:nc] += diagM
+    var_x = var_q / layout.scale**2 * sigma02
+    return np.sqrt(np.maximum(var_x, 0.0))
+
+
+def compute_stds(
+    problem: BAProblem,
+    layout: ParamLayout,
+    x: np.ndarray,
+    sigma02: float,
+    max_images: int = 2000,
+    n_probe: int = 64,
+):
+    """Stds for every unknown: exact block covariance below the dense-S
+    gate, Hutchinson estimate past it (the reference always reports
+    +-sigma, main.m:712-897).  Returns (std, Cc_q or None, method)."""
+    cov = schur_covariance(problem, layout, x, sigma02,
+                           max_images=max_images)
+    if cov is not None:
+        return cov.std, cov.Cc_q, "exact"
+    if n_probe:
+        std = estimate_schur_stds(
+            problem, layout, x, sigma02, n_probe=n_probe
+        )
+        return std, None, "hutchinson"
+    return None, None, None

@@ -929,11 +929,13 @@ def solve_schur(
     )
     if compute_covariance:
         from fish_eye_bundle_adjustment_tpu.solver.covariance import (
-            schur_covariance,
+            compute_stds,
         )
 
-        cov = schur_covariance(problem, layout, result.x, result.sigma02)
-        if cov is not None:
-            result.std = cov.std
-            result.Cc_q = cov.Cc_q
+        std, Cc_q, _method = compute_stds(
+            problem, layout, result.x, result.sigma02
+        )
+        if std is not None:
+            result.std = std
+            result.Cc_q = Cc_q
     return result

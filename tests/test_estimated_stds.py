@@ -1,0 +1,94 @@
+"""Hutchinson selected-diagonal stds (covariance.estimate_schur_stds) vs
+the exact block-covariance path, plus the distributed-solver wiring: a
+solve past the dense-S gate must still report finite stds (the reference
+prints +-sigma for every unknown unconditionally, main.m:712-897)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from fish_eye_bundle_adjustment_tpu.solver.covariance import (  # noqa: E402
+    compute_stds,
+    estimate_schur_stds,
+    schur_covariance,
+)
+from fish_eye_bundle_adjustment_tpu.solver.schur import (  # noqa: E402
+    SchurOptions,
+    solve_schur,
+)
+from fish_eye_bundle_adjustment_tpu.synth import make_block  # noqa: E402
+from fish_eye_bundle_adjustment_tpu.utils.layout import ParamLayout  # noqa: E402
+
+
+def _solved(n_img=24, n_pts=300, seed=5, overrides=None):
+    blk = make_block(
+        n_img=n_img, n_pts=n_pts, model="fisheye", seed=seed,
+        settings_overrides={"inner_constraints": False, **(overrides or {})},
+        control_frac=0.05,
+    )
+    res = solve_schur(
+        blk.problem, SchurOptions(dtype=np.float64),
+        compute_covariance=False, keep_history=False,
+    )
+    return blk.problem, res
+
+
+def test_estimator_tracks_exact_stds():
+    problem, res = _solved()
+    layout = ParamLayout(problem)
+    exact = schur_covariance(problem, layout, res.x, res.sigma02).std
+    est = estimate_schur_stds(
+        problem, layout, res.x, res.sigma02, n_probe=192, seed=1
+    )
+    assert est.shape == exact.shape
+    assert np.all(np.isfinite(est)) and np.all(est >= 0)
+    live = exact > 0
+    rel = np.abs(est[live] - exact[live]) / exact[live]
+    # documented bound: Hutchinson per-entry error ~ sqrt(2/n_probe)
+    # scaled by the off-diagonal mass; the distribution's bulk must land
+    # well inside it while a small tail is expected
+    assert np.median(rel) < 0.25, np.median(rel)
+    assert np.quantile(rel, 0.9) < 0.6, np.quantile(rel, 0.9)
+    # a few entries can clip to zero (Hutchinson variance estimates may
+    # come out negative); they must stay rare
+    pos = live & (est > 0)
+    assert (live.sum() - pos.sum()) / live.sum() < 0.02
+    # log-correlation: the estimate orders/scales the uncertainties right
+    c = np.corrcoef(np.log(est[pos]), np.log(exact[pos]))[0, 1]
+    assert c > 0.95, c
+
+
+def test_compute_stds_switches_to_estimator_past_gate():
+    problem, res = _solved()
+    layout = ParamLayout(problem)
+    std, Cc_q, method = compute_stds(
+        problem, layout, res.x, res.sigma02, max_images=4, n_probe=32
+    )
+    assert method == "hutchinson" and Cc_q is None
+    assert std is not None and np.all(np.isfinite(std))
+    std2, Cc2, method2 = compute_stds(
+        problem, layout, res.x, res.sigma02, max_images=2000
+    )
+    assert method2 == "exact" and Cc2 is not None
+
+
+@pytest.mark.slow
+def test_distributed_solve_reports_stds():
+    from fish_eye_bundle_adjustment_tpu.parallel.dist_schur import (
+        solve_schur_distributed,
+    )
+    from fish_eye_bundle_adjustment_tpu.parallel.mesh import make_mesh
+
+    blk = make_block(
+        n_img=16, n_pts=200, model="fisheye", seed=7,
+        settings_overrides={"inner_constraints": False}, control_frac=0.05,
+    )
+    res = solve_schur_distributed(
+        blk.problem, make_mesh(), SchurOptions(dtype=np.float64),
+        keep_history=False,
+    )
+    assert res.std is not None and np.all(np.isfinite(res.std))
+    layout = ParamLayout(blk.problem)
+    exact = schur_covariance(blk.problem, layout, res.x, res.sigma02).std
+    np.testing.assert_allclose(res.std, exact, rtol=1e-6, atol=1e-12)
