@@ -48,7 +48,8 @@ def main(folder, plot: bool = True, cfg: Optional[str] = None,
 
     t0 = time.perf_counter()
     try:
-        result = _solve(problem, solver, checkpoint, devices=devices, blocks=blocks)
+        result = _solve(problem, solver, checkpoint, devices=devices,
+                        blocks=blocks, keep_history=plot)
     except Exception as e:  # solver-level failure: report and continue batch
         print(f"Error during adjustment: {e}", file=sys.stderr)
         return 1
@@ -77,7 +78,8 @@ def main(folder, plot: bool = True, cfg: Optional[str] = None,
 
 
 def _solve(problem, solver: str, checkpoint: Optional[str] = None,
-           devices: Optional[int] = None, blocks: int = 4):
+           devices: Optional[int] = None, blocks: int = 4,
+           keep_history: bool = False):
     from fish_eye_bundle_adjustment_tpu.solver.dense import solve_dense
 
     if solver == "auto":
@@ -88,14 +90,15 @@ def _solve(problem, solver: str, checkpoint: Optional[str] = None,
     if solver == "dense":
         if checkpoint:
             print("note: --checkpoint applies to the schur solver only", file=sys.stderr)
-        return solve_dense(problem)
+        return solve_dense(problem, keep_history=keep_history)
     from fish_eye_bundle_adjustment_tpu.utils.observe import log_progress
 
     if solver == "schur":
         from fish_eye_bundle_adjustment_tpu.solver.schur import solve_schur
 
         return solve_schur(
-            problem, progress_fn=log_progress, checkpoint_path=checkpoint
+            problem, progress_fn=log_progress, checkpoint_path=checkpoint,
+            keep_history=keep_history,
         )
     if solver in ("distributed", "sharded"):
         from fish_eye_bundle_adjustment_tpu.parallel.mesh import make_mesh
@@ -108,14 +111,16 @@ def _solve(problem, solver: str, checkpoint: Optional[str] = None,
 
             return solve_schur_distributed(
                 problem, mesh, progress_fn=log_progress,
-                checkpoint_path=checkpoint,
+                checkpoint_path=checkpoint, keep_history=keep_history,
+                compute_covariance=True,  # the report prints +-sigma
             )
         from fish_eye_bundle_adjustment_tpu.parallel.sharded_state import (
             solve_schur_sharded_state,
         )
 
         return solve_schur_sharded_state(
-            problem, mesh, progress_fn=log_progress, checkpoint_path=checkpoint
+            problem, mesh, progress_fn=log_progress, checkpoint_path=checkpoint,
+            keep_history=keep_history, compute_covariance=True,
         )
     if solver == "posegraph":
         from fish_eye_bundle_adjustment_tpu.parallel.posegraph import solve_posegraph

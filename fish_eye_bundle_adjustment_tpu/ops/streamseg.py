@@ -37,6 +37,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class GroupTooWide(ValueError):
+    """A segment group's span exceeds the VMEM-safe bound; fall back to
+    the XLA prefix-sum segment sum (ops/segment.py)."""
+
+
 @dataclasses.dataclass(frozen=True)
 class GroupedSegPlan:
     """Host-static grouping of consecutive segments for the streaming
@@ -55,11 +60,27 @@ class GroupedSegPlan:
     M: int  # segments per group
 
     @staticmethod
-    def build(begs: np.ndarray, ends: np.ndarray, M: int = 128
-              ) -> "GroupedSegPlan":
+    def build(begs: np.ndarray, ends: np.ndarray, M: int = 128,
+              max_T: int = 64 * 1024) -> "GroupedSegPlan":
+        """Raises GroupTooWide when the worst-case aligned span exceeds
+        `max_T` lanes: one hot segment (a tie seen by thousands of
+        observations, or heavily skewed counts) would make the (D, T)
+        VMEM scratch and per-step DMA arbitrarily large — past ~16 MB
+        VMEM the kernel cannot compile, and well before that the
+        read amplification erases the one-pass advantage.  Callers fall
+        back to the XLA prefix-sum path (ops/segment.py)."""
         begs = np.asarray(begs, np.int64)
         ends = np.asarray(ends, np.int64)
         n_seg = begs.shape[0]
+        if n_seg:
+            # segments must contiguously tile [0, n_rows): `rel` is built
+            # by np.repeat from segment lengths, so a leading gap or
+            # overlapping segments would silently misalign it vs rows
+            if int(begs[0]) != 0 or not np.array_equal(begs[1:], ends[:-1]):
+                raise ValueError(
+                    "GroupedSegPlan requires contiguous segments tiling "
+                    "[0, n_rows) (begs[0]==0, begs[i+1]==ends[i])"
+                )
         n_rows = int(ends[-1]) if n_seg else 0
         G = max(1, -(-max(n_seg, 1) // M))
         pad = G * M - n_seg
@@ -74,6 +95,11 @@ class GroupedSegPlan:
         row_start = (first_row // 128) * 128
         span = end_row - row_start
         T = int(max(128, -(-int(span.max()) // 128) * 128)) if n_seg else 128
+        if T > max_T:
+            raise GroupTooWide(
+                f"worst-case group span T={T} exceeds max_T={max_T} "
+                f"(M={M} segments/group; a hot or skewed segment)"
+            )
         n_pad = int(max(row_start.max() + T, n_rows)) if n_seg else T
         # static rel-segment ids: seg_id % M per row; -1 on padding rows
         seg_id = np.repeat(

@@ -123,15 +123,21 @@ def solve_schur_distributed(
     problem: BAProblem,
     mesh=None,
     options: Optional[SchurOptions] = None,
-    keep_history: bool = True,
+    keep_history: bool = False,
     x0=None,
     progress_fn=None,
     checkpoint_path=None,
     checkpoint_every: int = 1,
-    compute_covariance: bool = True,
+    compute_covariance: bool = False,
 ) -> DenseResult:
     """Drop-in distributed variant of solve_schur (same conventions and,
-    by construction, the same arithmetic up to reduction order)."""
+    by construction, the same arithmetic up to reduction order).
+
+    `compute_covariance` defaults OFF here (unlike solve_schur): past the
+    dense-S gate the report-time Hutchinson path runs n_probe PCG solves
+    of single-device matvecs over a rebuilt unsharded ObsData — at the
+    scales this solver exists for that can dominate the solve; opt in
+    explicitly (the CLI does when writing a report)."""
     opts = options or SchurOptions()
     mesh = mesh if mesh is not None else make_mesh()
     step, obs, layout, order = make_distributed_step(problem, mesh, opts)
@@ -157,10 +163,11 @@ def solve_schur_distributed(
             compute_stds,
         )
 
-        std, Cc_q, _method = compute_stds(
+        std, Cc_q, method = compute_stds(
             problem, layout, result.x, result.sigma02
         )
         if std is not None:
             result.std = std
             result.Cc_q = Cc_q
+            result.std_method = method
     return result

@@ -273,15 +273,19 @@ def solve_schur_sharded_state(
     problem: BAProblem,
     mesh=None,
     options: Optional[SchurOptions] = None,
-    keep_history: bool = True,
+    keep_history: bool = False,
     x0=None,
     progress_fn=None,
     checkpoint_path=None,
     checkpoint_every: int = 1,
-    compute_covariance: bool = True,
+    compute_covariance: bool = False,
 ) -> DenseResult:
     """Drop-in distributed solve with sharded camera state (same result
-    contract as solve_schur_distributed, stds included)."""
+    contract as solve_schur_distributed, stds included).
+
+    `compute_covariance` defaults OFF (see solve_schur_distributed): the
+    report-time covariance path runs single-device probe solves that can
+    dominate at exactly the scales this solver targets — opt in."""
     opts = options or SchurOptions()
     mesh = mesh if mesh is not None else make_mesh()
     step, obs, layout, order = make_sharded_camera_step(problem, mesh, opts)
@@ -305,10 +309,11 @@ def solve_schur_sharded_state(
             compute_stds,
         )
 
-        std, Cc_q, _method = compute_stds(
+        std, Cc_q, method = compute_stds(
             problem, layout, result.x, result.sigma02
         )
         if std is not None:
             result.std = std
             result.Cc_q = Cc_q
+            result.std_method = method
     return result

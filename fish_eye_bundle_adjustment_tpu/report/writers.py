@@ -211,6 +211,16 @@ def write_reports(
         f.write(LINE + "\n\n")
 
         # per-image EOPs (main.m:709-769); angles reported in degrees
+        if result.std_method == "hutchinson":
+            # estimated sigmas must be distinguishable from exact
+            # covariance values in a metrology report (the Hutchinson
+            # selected-diagonal estimator carries ~sqrt(2/n_probe)
+            # per-entry relative error, solver/covariance.py)
+            f.write(
+                "NOTE: standard deviations below are stochastic "
+                "(Hutchinson) estimates of the\ncovariance diagonal, not "
+                "exact values — the problem exceeds the dense-S gate.\n\n"
+            )
         f.write("Estimated EOPs\nEOP Name\tValue\tStandard Deviation\n")
         for i in range(problem.n_img):
             f.write("\n")
@@ -350,6 +360,8 @@ def write_reports(
             f"{version}\t\n"
         )
         f.write(f"Execution date\t{date}\t\n\t\t\n")
+        if result.std_method == "hutchinson":
+            f.write("NOTE\tstds are Hutchinson estimates\t\n")
         for ci in range(problem.n_cam):
             f.write(f"Camera\t{problem.camera_ids[ci]}\t\n")
             start = layout.iop_offset + ci * ni

@@ -64,6 +64,11 @@ class DenseResult:
     # correlation sections only touch camera-block entries, so this is
     # enough at scales where the full (u, u) Cx cannot exist.
     Cc_q: Optional[np.ndarray] = None
+    # provenance of `std`: "exact" (dense covariance / dense-S block
+    # back-substitution) or "hutchinson" (stochastic selected-diagonal
+    # estimate past the dense-S gate).  The report annotates estimated
+    # sigmas so a metrology reader can tell them from exact values.
+    std_method: Optional[str] = None
 
     @property
     def names(self):
@@ -171,7 +176,7 @@ def solve_dense(
     rms_x = float(np.sqrt(np.mean(v_np[0::2] ** 2)))
     rms_y = float(np.sqrt(np.mean(v_np[1::2] ** 2)))
 
-    Cx = std = Cx_q = None
+    Cx = std = Cx_q = std_method = None
     if compute_covariance:
         Cx_q = np.asarray(covariance(x_prev))
         # de-scale the diagonal only (main.m:458-482), then apply sigma02
@@ -180,6 +185,7 @@ def solve_dense(
         np.fill_diagonal(Cx, np.diag(Cx_q) / layout.scale**2)
         Cx = sigma02 * Cx
         std = np.sqrt(np.maximum(np.diag(Cx), 0.0))
+        std_method = "exact"
 
     return DenseResult(
         problem=problem,
@@ -198,4 +204,5 @@ def solve_dense(
         std=std,
         Cx_q=Cx_q,
         elapsed_s=elapsed,
+        std_method=std_method,
     )

@@ -742,7 +742,7 @@ def schur_step_fn(kernel: SchurKernel, layout: ParamLayout, use_ic: bool,
 
 
 def run_gn_loop(step, obs, layout, problem, opts: SchurOptions,
-                keep_history=True, x0=None, progress_fn=None,
+                keep_history=False, x0=None, progress_fn=None,
                 checkpoint_path=None, checkpoint_every: int = 1,
                 x_sharding=None):
     """The outer Gauss-Newton driver shared by solve_schur and
@@ -754,6 +754,11 @@ def run_gn_loop(step, obs, layout, problem, opts: SchurOptions,
     `step(x, obs, cg_tol) -> (new_x, deltasum, v_local, stats, cg_iters)`
     is the jitted single-device or shard_map step.  Returns
     (x, history, delta_history, v_local, stats, count, converged, elapsed).
+
+    `keep_history` copies the full (u,) unknown vector to the host every
+    iteration (u=300k x 60 iters ~ 145 MB inside the timed solve) — leave
+    it off unless trajectory plots were requested (cli.py passes
+    keep_history=plot).
     """
     settings = problem.settings
     t0 = time.perf_counter()
@@ -833,7 +838,21 @@ def _finalize(problem, layout, x, history, delta_history, v_np, stats, count,
               converged, elapsed, keep_history):
     vPv, sx2, sy2 = (float(s) for s in stats)
     n = problem.n
-    sigma02 = vPv / (n - layout.u)
+    dof = n - layout.u
+    if dof <= 0:
+        # a free-network sub-block (e.g. a posegraph partition with thin
+        # overlap, parallel/posegraph.py) can re-estimate nearly every
+        # observation's parameters; the reference contract sigma0^2 =
+        # v'Pv/(n-u) (main.m:601) would then be inf/negative.  Clamp and
+        # warn instead of silently reporting a bogus variance factor.
+        import warnings
+
+        warnings.warn(
+            f"non-positive redundancy (n={n}, u={layout.u}): sigma0^2 "
+            "clamped to v'Pv/1 — the adjustment is under-determined",
+            stacklevel=2,
+        )
+    sigma02 = vPv / max(dof, 1)
     rms_x = float(np.sqrt(sx2 / problem.n_obs))
     rms_y = float(np.sqrt(sy2 / problem.n_obs))
     return DenseResult(
@@ -879,7 +898,7 @@ def make_pair_plan(problem, layout, opts: SchurOptions, order):
 def solve_schur(
     problem: BAProblem,
     options: Optional[SchurOptions] = None,
-    keep_history: bool = True,
+    keep_history: bool = False,
     x0=None,
     progress_fn=None,
     checkpoint_path=None,
@@ -932,10 +951,11 @@ def solve_schur(
             compute_stds,
         )
 
-        std, Cc_q, _method = compute_stds(
+        std, Cc_q, method = compute_stds(
             problem, layout, result.x, result.sigma02
         )
         if std is not None:
             result.std = std
             result.Cc_q = Cc_q
+            result.std_method = method
     return result

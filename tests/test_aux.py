@@ -91,6 +91,34 @@ class TestDivergence:
         check_divergence(2, 5.0, [1.0, 5.0])  # mild increase is fine
 
 
+class TestDofGuard:
+    def test_nonpositive_redundancy_warns_and_clamps(self):
+        """A free-network sub-block with thin overlap (posegraph
+        partitions, parallel/posegraph.py) can have u >= n; _finalize
+        must warn and clamp rather than report inf/negative sigma0^2
+        (reference contract: sigma0^2 = v'Pv/(n-u), main.m:601)."""
+        from fish_eye_bundle_adjustment_tpu.solver.schur import _finalize
+        from fish_eye_bundle_adjustment_tpu.utils.layout import ParamLayout
+
+        # 2 images x ~10 pts, every target estimated, free network:
+        # u = 12 + 3*n_pts grows past n = 2 * n_obs
+        blk = make_block(
+            n_img=2, n_pts=10, control_frac=0.0, seed=3,
+            settings_overrides={"inner_constraints": True},
+            target_track_len=2.0,
+        )
+        problem = blk.problem
+        layout = ParamLayout(problem)
+        assert problem.n - layout.u <= 0, "fixture no longer under-determined"
+        stats = np.array([4.2, 1.0, 1.0])
+        with pytest.warns(UserWarning, match="non-positive redundancy"):
+            res = _finalize(
+                problem, layout, np.zeros(layout.u), [], [1.0],
+                np.zeros(problem.n), stats, 1, True, 0.1, False,
+            )
+        assert np.isfinite(res.sigma02) and res.sigma02 > 0
+
+
 class TestProgress:
     @pytest.mark.slow
     def test_records_emitted(self, block):
