@@ -369,20 +369,38 @@ def estimate_schur_stds(
 
     The reference reports +-sigma for every unknown unconditionally
     (main.m:712-897); past the dense-S gate this estimates diag(N^-1)
-    with Rademacher probes through the matrix-free Schur machinery:
+    with Rademacher probes through the matrix-free Schur machinery.
+    With K = Hcp Hpp^-1, the blocks of N^-1 are
 
-        z = N^-1 e  via   zc = S^-1 (ec - Hcp Hpp^-1 ep)   (projected PCG)
-                          zp = Hpp^-1 ep - Hpp^-1 Hpc zc
-        diag(N^-1) ~ mean_k e_k * z_k
+        camera:  Cc = S^-1          points:  Hpp^-1 + K' Cc K
 
-    Per-entry relative error decays as ~sqrt(2/n_probe) scaled by the
-    off-diagonal mass of that row of N^-1 (see tests/test_estimated_stds
-    for the measured bound on a 500-unknown block).  With inner
-    constraints the probe solves run projected onto Null(G'), matching
-    the minimum-norm (free-network) covariance.
+    and the probes are SPLIT per block (ec with ep=0, and ep with ec=0):
+    a joint probe's cross terms (ep' K' Cc ec etc.) have zero mean but
+    dominate the estimator's variance.  Each half additionally subtracts
+    an exact control variate so only genuinely unknown mass is sampled:
 
-    Cost: n_probe PCG solves at report time — independent of the GN
-    iteration count and embarrassingly parallel across probes.
+        camera probes:  d .* ec .* (Cc w - M w)     + exact diag(M),
+                        w = ec ./ d,  d = sqrt(diag(M))
+        point  probes:  ep .* (K' Cc K ep)          + exact diag(Hpp^-1)
+
+    (M = the solver's block-Jacobi preconditioner; diag(Hpp^-1) is free
+    from the factor's Hpi table).  The camera probes are IMPORTANCE-
+    SCALED by d: camera variances span ~8 orders of magnitude (angle
+    entries ~1e-8 x position entries), and an unscaled probe's absolute
+    noise — set by the largest coupled entries — swamps the small
+    diagonals (the round-3 zero-clipping failure).  Probing Cc through
+    w = e/d and reading d .* e .* z makes the per-entry RELATIVE error
+    uniform, ~sqrt(sum_k rho_jk^2 / n_probe) in the correlations rho.
+    The point base term is exact and positive, so point estimates clip
+    only when the sampled correction goes below -diag(Hpp^-1)
+    (tests/test_estimated_stds measures the error distribution on a
+    996-unknown block).  With inner constraints the probe solves run
+    projected onto Null(G'), matching the minimum-norm (free-network)
+    covariance.
+
+    Cost: n_probe PCG solves at report time (half per block) —
+    independent of the GN iteration count and embarrassingly parallel
+    across probes.
     """
     from fish_eye_bundle_adjustment_tpu.solver.schur import (
         ObsData,
@@ -404,6 +422,10 @@ def estimate_schur_stds(
     project_builder = make_projection_builder(layout, nc, use_ic)
 
     def solve_probe(q, obs, ec, ep):
+        """One probe through N^-1.  Returns the CONTROL-VARIATE-REDUCED
+        pair (zc - M ec, zp - Hpp^-1 ep); with ep = 0 the first entry
+        samples the camera block, with ec = 0 the second samples the
+        point-block correction K' Cc K ep (y0 = Hpp^-1 ep cancels)."""
         fac = kernel.linearize(q, obs)
         project = project_builder(q)
         precond = fac.make_preconditioner()
@@ -413,6 +435,7 @@ def estimate_schur_stds(
             px, py = fac._point_apply(y0)
             rhs = ec - fac._cam_applyT(wx * px, wy * py)
         else:
+            y0 = ep
             rhs = ec
         zc, _, _ = _pcg(
             fac.schur_matvec, rhs, precond, project, cg_tol, cg_maxiter
@@ -420,20 +443,22 @@ def estimate_schur_stds(
         if nt:
             ax, ay = fac._cam_apply(zc)
             t = fac._point_applyT(wx * ax, wy * ay)
-            zp = y0 - fac._hpp_inv_apply(t)
+            zp_corr = -fac._hpp_inv_apply(t)  # (zp - y0) = K' Cc K ep for ec=0
         else:
-            zp = jnp.zeros((0, 3), zc.dtype)
-        # control variate: the block-Jacobi apply M ec has exactly known
-        # diagonal, so estimating only zc - M ec removes the dominant
-        # (near-diagonal) variance of the raw Hutchinson estimator
-        return zc - precond(ec), zp
+            zp_corr = jnp.zeros((0, 3), zc.dtype)
+        return zc - precond(ec), zp_corr
 
     def precond_apply(q, obs, v):
         fac = kernel.linearize(q, obs)
         return fac.make_preconditioner()(v)
 
+    def hpp_inv_diag(q, obs):
+        fac = kernel.linearize(q, obs)
+        return fac.Hpi_flat[:nt][:, (0, 4, 8)]  # (nt, 3) exact diag
+
     jitted = jax.jit(solve_probe)
     papply = jax.jit(precond_apply)
+    hdiag = jax.jit(hpp_inv_diag)
 
     # exact diag of the block-Jacobi M: apply M to per-block-position
     # indicator patterns (ne patterns cover every pose block at once,
@@ -451,19 +476,29 @@ def estimate_schur_stds(
         diagM += np.asarray(pat, np.float64) * out
 
     rng = np.random.default_rng(seed)
-    acc = np.zeros(layout.u)
-    for _ in range(n_probe):
-        e = (rng.integers(0, 2, layout.u) * 2 - 1).astype(dtype)
-        ec = jnp.asarray(e[:nc])
-        ep = jnp.asarray(e[layout.tie_offset:].reshape(nt, 3))
-        zc, zp = jitted(q, obs, ec, ep)
-        z = np.concatenate(
-            [np.asarray(zc, np.float64),
-             np.asarray(zp, np.float64).reshape(-1)]
-        )
-        acc += e.astype(np.float64) * z
-    var_q = acc / n_probe
-    var_q[:nc] += diagM
+    n_cam_probes = n_probe - n_probe // 2 if nt else n_probe
+    n_pt_probes = n_probe - n_cam_probes
+    zero_c = jnp.zeros(nc, dtype)
+    zero_p = jnp.zeros((nt, 3), dtype)
+    d = np.sqrt(np.maximum(diagM, 1e-300))  # importance scale (see docstring)
+    acc_c = np.zeros(nc)
+    for _ in range(n_cam_probes):
+        e = (rng.integers(0, 2, nc) * 2 - 1).astype(np.float64)
+        w = (e / d).astype(dtype)
+        zc, _ = jitted(q, obs, jnp.asarray(w), zero_p)
+        acc_c += d * e * np.asarray(zc, np.float64)
+    acc_p = np.zeros((nt, 3))
+    for _ in range(n_pt_probes):
+        e = (rng.integers(0, 2, (nt, 3)) * 2 - 1).astype(dtype)
+        _, zp_corr = jitted(q, obs, zero_c, jnp.asarray(e))
+        acc_p += e.astype(np.float64) * np.asarray(zp_corr, np.float64)
+    var_q = np.zeros(layout.u)
+    var_q[:nc] = acc_c / max(n_cam_probes, 1) + diagM
+    if nt:
+        base_p = np.asarray(hdiag(q, obs), np.float64)
+        var_q[layout.tie_offset:] = (
+            acc_p / max(n_pt_probes, 1) + base_p
+        ).reshape(-1)
     var_x = var_q / layout.scale**2 * sigma02
     return np.sqrt(np.maximum(var_x, 0.0))
 
