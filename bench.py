@@ -85,10 +85,21 @@ def _make_step(problem, dtype, cg_maxiter=10, use_explicit=False):
     )
     layout = ParamLayout(problem)
     kernel = SchurKernel(layout, opts, obs_order="tie")
-    order = ObsData.sort_order_by_tie(problem, layout)
-    obs = ObsData.from_problem(
-        problem, layout, dtype=dtype, order=order, with_plan=True
-    )
+    # production path: banded plan + fused Pallas matvec when it applies
+    # (f32, single camera — solve_schur's own gate), XLA plan otherwise
+    from fish_eye_bundle_adjustment_tpu.solver.schur import make_band_plan
+
+    band_plan = make_band_plan(problem, layout, opts) if not use_explicit else None
+    if band_plan is not None:
+        order = band_plan.order
+        obs = ObsData.from_problem(
+            problem, layout, dtype=dtype, band_plan=band_plan
+        )
+    else:
+        order = ObsData.sort_order_by_tie(problem, layout)
+        obs = ObsData.from_problem(
+            problem, layout, dtype=dtype, order=order, with_plan=True
+        )
     # Headline uses the matrix-free stream matvec (measured faster than the
     # explicit dense-S build at 1k img with 10 CG iters/step — BASELINE.md
     # r3); the explicit path is timed separately below.

@@ -43,6 +43,7 @@ import numpy as np
 
 from fish_eye_bundle_adjustment_tpu.io.problem import BAProblem
 from fish_eye_bundle_adjustment_tpu.ops.segment import DualAxisPlan
+from fish_eye_bundle_adjustment_tpu.ops.fusedmv import BandArrays
 from fish_eye_bundle_adjustment_tpu.models.projection import (
     MODEL_IDS,
     obs_jacobian_blocks,
@@ -123,21 +124,43 @@ class ObsData:
     # scatter-free reduction plan (tie-sorted primary axis + image-sorted
     # secondary permutation); None -> scatter fallback (distributed shards)
     plan: Optional[DualAxisPlan] = None
+    # banded-stream structure for the fused Pallas matvec (single-device
+    # f32 path; ops/bandplan.py).  When set, `tie` carries RANK ids and
+    # the stream is rank-sorted.
+    band: Optional[BandArrays] = None
 
     @staticmethod
     def from_problem(problem: BAProblem, layout: ParamLayout, dtype=np.float64,
                      pad_to: Optional[int] = None,
                      order: Optional[np.ndarray] = None,
                      with_plan: bool = False,
-                     shard_plans: Optional[int] = None) -> "ObsData":
+                     shard_plans: Optional[int] = None,
+                     band_plan=None) -> "ObsData":
         """`order` optionally permutes the observation axis (e.g. sorted by
         tie slot so point-segment sums see sorted indices — see
         sort_order_by_tie).  `shard_plans=n` builds per-shard reduction
-        plans (stacked on a leading axis) for shard_map over n devices."""
+        plans (stacked on a leading axis) for shard_map over n devices.
+        `band_plan` (an ops.bandplan.BandPlan) supersedes `order`: the
+        stream is sorted by tie RANK, tie ids relabeled to ranks, and the
+        fused-kernel BandArrays attached."""
         n = problem.n_obs
-        pad = (pad_to or n) - n
         tie = problem.target_tie_slot[problem.obs_pt]
         tie = np.where(tie >= 0, tie, layout.n_tie).astype(np.int32)
+        band = None
+        if band_plan is not None:
+            if pad_to is not None or order is not None:
+                raise ValueError("band_plan fixes order and padding")
+            order = band_plan.order
+            pad_to = band_plan.n_pad
+            live = tie < layout.n_tie
+            tie = np.where(
+                live,
+                band_plan.rank_of_slot[np.minimum(tie, layout.n_tie - 1)],
+                layout.n_tie,
+            ).astype(np.int32)
+            band = BandArrays.from_plan(band_plan)
+            with_plan = True
+        pad = (pad_to or n) - n
 
         def _prep(a, fill=0):
             if order is not None:
@@ -164,6 +187,7 @@ class ObsData:
                 )
         return ObsData(
             plan=plan,
+            band=band,
             img=jnp.asarray(_prep(problem.obs_img)),
             cam=jnp.asarray(_prep(problem.obs_cam)),
             pt=jnp.asarray(_prep(problem.obs_pt)),
@@ -188,6 +212,7 @@ class ObsData:
                 lambda a: sh if a.ndim == 2 else rep,  # stacked per-shard
                 self.plan,
             ),
+            band=None,  # fused path is single-device; never sharded
         )
 
     @staticmethod
@@ -228,6 +253,13 @@ class SchurOptions:
     # the converged solution while cutting most CG sweeps.
     adaptive_forcing: bool = True
     forcing_max: float = 1e-2
+    # Fused banded Pallas matvec/rhs/backsub (ops/fusedmv.py).  None ->
+    # auto: on for the single-device f32 path when the banded plan exists
+    # (single shared camera, n_tie > 0, band structure within caps).
+    fused: Optional[bool] = None
+    fused_precision: str = "bf16x2"  # 'bf16' | 'bf16x2' mask-dot operands
+    band_M: int = 128  # tie ranks per group
+    band_max_W: int = 2048  # reject plans with wider image bands
 
 
 class SchurKernel:
@@ -330,8 +362,57 @@ class SchurKernel:
         Hpi_flat = jnp.concatenate(
             [Hpp_inv.reshape(nt, 9), jnp.zeros((1, 9), Hpp_inv.dtype)], axis=0
         )
+        acam_t = apt_t = hpi_t = None
+        if self.use_fused(obs):
+            # transposed sqrt(W)-folded streams for the fused banded kernel
+            # (ops/fusedmv.py); one transpose per linearization, amortized
+            # over every matvec/rhs/backsub call of the GN step
+            band = obs.band
+            f32 = jnp.float32
+            sx = jnp.sqrt(wx).astype(f32)
+            sy = jnp.sqrt(wy).astype(f32)
+            rows = [
+                (Jex * sx[:, None]).T.astype(f32),
+                (Jey * sy[:, None]).T.astype(f32),
+            ]
+            if self.ni:
+                rows += [
+                    (Jix * sx[:, None]).T.astype(f32),
+                    (Jiy * sy[:, None]).T.astype(f32),
+                ]
+            acam_t = jnp.concatenate(rows, axis=0)
+            ca_pad = -acam_t.shape[0] % 8
+            n_here = acam_t.shape[1]
+            acam_t = jnp.pad(acam_t, ((0, ca_pad), (0, band.n_pad - n_here)))
+            apt_t = jnp.concatenate(
+                [
+                    (Jpx * sx[:, None]).T.astype(f32),
+                    (Jpy * sy[:, None]).T.astype(f32),
+                ],
+                axis=0,
+            )
+            apt_t = jnp.pad(apt_t, ((0, 2), (0, band.n_pad - n_here)))
+            hpi_t = Hpp_inv.reshape(nt, 9).T.astype(f32)
+            hpi_t = jnp.pad(
+                hpi_t, ((0, 7), (0, band.G * band.M - nt))
+            )
         return SchurFactors(
-            self, obs, rx, ry, Jex, Jey, Jix, Jiy, Jpx, Jpy, Hpi_flat
+            self, obs, rx, ry, Jex, Jey, Jix, Jiy, Jpx, Jpy, Hpi_flat,
+            acam_t, apt_t, hpi_t,
+        )
+
+    def use_fused(self, obs: ObsData) -> bool:
+        """Fused banded kernel applies: single device (band plan built),
+        f32, one shared camera, tie points present, pose block active."""
+        if obs.band is None:
+            return False
+        if self.opts.fused is False:
+            return False
+        return (
+            np.dtype(self.opts.dtype) == np.float32
+            and self.n_cam == 1
+            and self.n_tie > 0
+            and self.ne > 0
         )
 
 
@@ -342,7 +423,8 @@ class SchurFactors:
     All per-observation arrays are 2-D (N, k); per-observation vectors are
     carried as (x, y) pairs of (N,)/(N, k) arrays."""
 
-    def __init__(self, kernel, obs, rx, ry, Jex, Jey, Jix, Jiy, Jpx, Jpy, Hpi_flat):
+    def __init__(self, kernel, obs, rx, ry, Jex, Jey, Jix, Jiy, Jpx, Jpy,
+                 Hpi_flat, acam_t=None, apt_t=None, hpi_t=None):
         self.k = kernel
         self.obs = obs
         self.rx, self.ry = rx, ry
@@ -350,11 +432,16 @@ class SchurFactors:
         self.Jix, self.Jiy = Jix, Jiy
         self.Jpx, self.Jpy = Jpx, Jpy
         self.Hpi_flat = Hpi_flat  # (n_tie + 1, 9), zero dummy row
+        # transposed streams for the fused banded kernel (None when off)
+        self.acam_t = acam_t
+        self.apt_t = apt_t
+        self.hpi_t = hpi_t
 
     def tree_flatten(self):
         return (
             self.obs, self.rx, self.ry, self.Jex, self.Jey, self.Jix,
             self.Jiy, self.Jpx, self.Jpy, self.Hpi_flat,
+            self.acam_t, self.apt_t, self.hpi_t,
         ), self.k
 
     @classmethod
@@ -436,10 +523,73 @@ class SchurFactors:
         H = self.Hpi_flat[: k.n_tie].reshape(k.n_tie, 3, 3)
         return jnp.einsum("tpq,tq->tp", H, t)
 
+    # -- fused banded kernel plumbing (ops/fusedmv.py) -------------------
+    @property
+    def fused(self):
+        return self.acam_t is not None
+
+    def _fused_v(self, vc):
+        """Camera vector -> ((8, n_img_pad) rank-ordered pose planes,
+        (128,) IOP scalars)."""
+        k = self.k
+        band = self.obs.band
+        vp_img, vi_cam = self._split(vc)
+        vp_ranked = vp_img[band.img_of_imgrank].astype(jnp.float32)
+        vpose = jnp.zeros((8, band.n_img_pad), jnp.float32)
+        vpose = jax.lax.dynamic_update_slice(vpose, vp_ranked.T, (0, 0))
+        vi = jnp.zeros((128,), jnp.float32)
+        if k.ni:
+            vi = vi.at[: k.ni].set(vi_cam[0].astype(jnp.float32))
+        return vpose, vi
+
+    def _fused_cam_out(self, out_pose, out_iop):
+        """Kernel outputs -> flat camera vector in layout order."""
+        k = self.k
+        band = self.obs.band
+        op = out_pose[: k.ne, : k.n_img].T  # (n_img, ne) rank order
+        op = op[band.imgrank_of_img]  # original image order
+        parts = [op.reshape(-1)]
+        if k.ni:
+            parts.append(jnp.sum(out_iop[: k.ni], axis=1))
+        return jnp.concatenate(parts).astype(self.rx.dtype)
+
+    def _fused_arows(self):
+        """Whitened residual rows (8, n_pad) for rhs/backsub injection."""
+        band = self.obs.band
+        wx, wy = self._w
+        ax = (jnp.sqrt(wx) * self.rx).astype(jnp.float32)
+        ay = (jnp.sqrt(wy) * self.ry).astype(jnp.float32)
+        rows = jnp.stack([ax, ay], axis=0)
+        return jnp.pad(rows, ((0, 6), (0, band.n_pad - rows.shape[1])))
+
+    def _fused_apply(self, vpose=None, vi=None, a_rows=None,
+                     with_precond=False):
+        from fish_eye_bundle_adjustment_tpu.ops.fusedmv import (
+            fused_schur_apply,
+        )
+
+        k = self.k
+        return fused_schur_apply(
+            self.obs.band, self.acam_t, self.apt_t, self.hpi_t,
+            k.ne, k.ni, vpose=vpose, vi=vi, a_rows=a_rows,
+            with_precond=with_precond,
+            precision=k.opts.fused_precision,
+            # CPU has no Mosaic: tests force opts.fused=True on small
+            # blocks and run the kernel in interpret mode
+            interpret=jax.default_backend() not in ("tpu", "axon"),
+        )
+
     # -- Schur pieces ----------------------------------------------------
     def schur_matvec(self, vc):
         """S vc = C'WC vc - C'WP Hpp^-1 P'WC vc."""
         k = self.k
+        if self.fused:
+            vpose, vi = self._fused_v(vc)
+            out_pose, out_iop, _ = self._fused_apply(vpose=vpose, vi=vi)
+            out = self._fused_cam_out(out_pose, out_iop)
+            if k.opts.camera_damping:
+                out = out + k.opts.camera_damping * vc
+            return out
         wx, wy = self._w
         ax, ay = self._cam_apply(vc)
         awx, awy = wx * ax, wy * ay
@@ -459,6 +609,11 @@ class SchurFactors:
     def reduced_rhs(self):
         """gc_tilde = -(C'W r - C'WP Hpp^-1 P'W r)."""
         k = self.k
+        if self.fused:
+            out_pose, out_iop, _ = self._fused_apply(
+                a_rows=self._fused_arows()
+            )
+            return -self._fused_cam_out(out_pose, out_iop)
         wx, wy = self._w
         rwx, rwy = wx * self.rx, wy * self.ry
         if k.n_tie:
@@ -470,14 +625,30 @@ class SchurFactors:
         return -self._cam_applyT(rwx, rwy)
 
     def back_substitute(self, dc):
-        """dp = Hpp^-1 (-P'W r - P'W C dc)  -> (n_tie, 3)."""
+        """dp = Hpp^-1 (-P'W r - P'W C dc)  -> (n_tie, 3).
+
+        Rows are in the solver's INTERNAL tie id space (tie RANK order
+        under the banded plan, layout slot order otherwise) — convert
+        with tie_to_layout_order before packing into delta_q."""
         k = self.k
         if not k.n_tie:
             return jnp.zeros((0, 3), self.rx.dtype)
+        if self.fused:
+            vpose, vi = self._fused_v(dc)
+            _, _, y = self._fused_apply(
+                vpose=vpose, vi=vi, a_rows=self._fused_arows()
+            )
+            return -y[:3, : k.n_tie].T.astype(self.rx.dtype)
         wx, wy = self._w
         ax, ay = self._cam_apply(dc)
         rhs = -self._point_applyT(wx * (self.rx + ax), wy * (self.ry + ay))
         return self._hpp_inv_apply(rhs)
+
+    def tie_to_layout_order(self, vp):
+        """Internal (rank-space) per-tie rows -> layout slot order."""
+        if self.obs.band is None:
+            return vp
+        return vp[self.obs.band.rank_of_slot]
 
     def pose_precond_sym(self):
         """Per-observation symmetric columns (N, ne(ne+1)/2) of the
@@ -562,17 +733,7 @@ class SchurFactors:
             out = out + k.opts.camera_damping * jnp.eye(k.ni, dtype=out.dtype)
         return out
 
-    def make_preconditioner(self):
-        k = self.k
-        eye_reg = 1e-300
-        Ms = []
-        if k.ne:
-            Pb = self.pose_precond_blocks()
-            Ms.append(("pose", jnp.linalg.inv(Pb + eye_reg * jnp.eye(k.ne, dtype=Pb.dtype))))
-        if k.ni:
-            Ib = self.iop_precond_blocks()
-            Ms.append(("iop", jnp.linalg.inv(Ib + eye_reg * jnp.eye(k.ni, dtype=Ib.dtype))))
-
+    def _precond_apply_from(self, Ms):
         def apply(vc):
             vp_img, vi_cam = self._split(vc)
             parts = []
@@ -584,6 +745,54 @@ class SchurFactors:
             return jnp.concatenate(parts)
 
         return apply
+
+    def make_preconditioner(self):
+        k = self.k
+        eye_reg = 1e-300
+        Ms = []
+        if k.ne:
+            Pb = self.pose_precond_blocks()
+            Ms.append(("pose", jnp.linalg.inv(Pb + eye_reg * jnp.eye(k.ne, dtype=Pb.dtype))))
+        if k.ni:
+            Ib = self.iop_precond_blocks()
+            Ms.append(("iop", jnp.linalg.inv(Ib + eye_reg * jnp.eye(k.ni, dtype=Ib.dtype))))
+        return self._precond_apply_from(Ms)
+
+    def rhs_and_precond(self):
+        """(reduced_rhs, preconditioner) — one fused kernel pass when the
+        banded path is active, the separate XLA pipelines otherwise."""
+        k = self.k
+        if not self.fused:
+            return self.reduced_rhs(), self.make_preconditioner()
+        band = self.obs.band
+        out_pose, out_iop, _, p21, i55 = self._fused_apply(
+            a_rows=self._fused_arows(), with_precond=True
+        )
+        rhs = -self._fused_cam_out(out_pose, out_iop)
+        dtype = self.rx.dtype
+        eye_reg = 1e-300
+        damp = k.opts.camera_damping
+        Ms = []
+        npair = k.ne * (k.ne + 1) // 2
+        sym = p21[:npair, : k.n_img].T  # (n_img, npair) rank order
+        sym = sym[band.imgrank_of_img].astype(dtype)
+        Pb = _expand_sym(sym, k.ne)
+        if damp:
+            Pb = Pb + damp * jnp.eye(k.ne, dtype=dtype)
+        Ms.append(
+            ("pose", jnp.linalg.inv(Pb + eye_reg * jnp.eye(k.ne, dtype=dtype)))
+        )
+        if k.ni:
+            ipair = k.ni * (k.ni + 1) // 2
+            symi = jnp.sum(i55[:ipair], axis=1).reshape(1, ipair).astype(dtype)
+            Ib = _expand_sym(symi, k.ni)
+            if damp:
+                Ib = Ib + damp * jnp.eye(k.ni, dtype=dtype)
+            Ms.append(
+                ("iop",
+                 jnp.linalg.inv(Ib + eye_reg * jnp.eye(k.ni, dtype=dtype)))
+            )
+        return rhs, self._precond_apply_from(Ms)
 
 
 _CG_UNROLL = 8  # iterations fused per while_loop trip (see _pcg)
@@ -713,15 +922,18 @@ def schur_step_fn(kernel: SchurKernel, layout: ParamLayout, use_ic: bool,
             S = build_dense_S(fac, pair_arg)
             matvec = lambda v: S @ v
             precond = dense_precond(S, kernel)
+            rhs = fac.reduced_rhs()
         else:
             matvec = fac.schur_matvec
-            precond = fac.make_preconditioner()
-        rhs = fac.reduced_rhs()
+            # one fused pass produces both when the banded kernel is on
+            rhs, precond = fac.rhs_and_precond()
         dc, cg_iters, cg_rel = _pcg(
             matvec, rhs, precond, project, cg_tol, opts.cg_maxiter
         )
-        dp = fac.back_substitute(dc)
-        delta_q = jnp.concatenate([dc, dp.reshape(-1)])
+        dp = fac.back_substitute(dc)  # internal tie order (rank when banded)
+        delta_q = jnp.concatenate(
+            [dc, fac.tie_to_layout_order(dp).reshape(-1)]
+        )
         delta_x = delta_q / scale
         # per-shard linearized residual rows (padding rows carry W=0 but the
         # raw residual of padded obs is bogus — mask by weight sign)
@@ -875,6 +1087,34 @@ def _finalize(problem, layout, x, history, delta_history, v_np, stats, count,
     )
 
 
+def make_band_plan(problem, layout, opts: SchurOptions):
+    """Host-side banded plan for the fused Pallas matvec when it applies
+    (ops/bandplan.py); None -> the XLA gather/segsum path.
+
+    Auto mode (opts.fused is None) requires a TPU backend: the kernel
+    would run in slow interpret mode on CPU.  opts.fused=True forces the
+    plan (tests exercise interpret mode on small blocks)."""
+    if opts.fused is False or opts.obs_order != "tie":
+        return None
+    if not (
+        np.dtype(opts.dtype) == np.float32
+        and problem.n_cam == 1
+        and layout.n_tie > 0
+        and layout.n_eop > 0
+    ):
+        return None
+    if opts.fused is None and jax.default_backend() not in ("tpu", "axon"):
+        return None
+    from fish_eye_bundle_adjustment_tpu.ops.bandplan import build_band_plan
+
+    tie = problem.target_tie_slot[problem.obs_pt]
+    tie = np.where(tie >= 0, tie, layout.n_tie)
+    return build_band_plan(
+        tie, problem.obs_img, layout.n_tie, problem.n_img,
+        M=opts.band_M, max_W=opts.band_max_W,
+    )
+
+
 def make_pair_plan(problem, layout, opts: SchurOptions, order):
     """Build the static observation-pair plan for the explicit dense-S path
     when it applies (see SchurOptions.explicit_s); None otherwise."""
@@ -921,16 +1161,24 @@ def solve_schur(
         validate_inner_constraints(layout)
 
     kernel = SchurKernel(layout, opts, obs_order=opts.obs_order)
-    order = (
-        ObsData.sort_order_by_tie(problem, layout)
-        if opts.obs_order == "tie"
-        else None  # problem order is image-major already ("img")
-    )
-    obs = ObsData.from_problem(
-        problem, layout, dtype=opts.dtype, order=order,
-        with_plan=order is not None,
-    )
-    pairs = make_pair_plan(problem, layout, opts, order)
+    band_plan = make_band_plan(problem, layout, opts)
+    if band_plan is not None:
+        obs = ObsData.from_problem(
+            problem, layout, dtype=opts.dtype, band_plan=band_plan
+        )
+        order = band_plan.order
+        pairs = None  # the fused matvec replaces the explicit dense-S path
+    else:
+        order = (
+            ObsData.sort_order_by_tie(problem, layout)
+            if opts.obs_order == "tie"
+            else None  # problem order is image-major already ("img")
+        )
+        obs = ObsData.from_problem(
+            problem, layout, dtype=opts.dtype, order=order,
+            with_plan=order is not None,
+        )
+        pairs = make_pair_plan(problem, layout, opts, order)
     base_step = jax.jit(schur_step_fn(kernel, layout, use_ic, pairs=pairs))
     step = lambda x, o, tol: base_step(x, o, tol, pairs)
 
