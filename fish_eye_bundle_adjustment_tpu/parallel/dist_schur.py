@@ -164,7 +164,7 @@ def solve_schur_distributed(
         )
 
         std, Cc_q, method = compute_stds(
-            problem, layout, result.x, result.sigma02
+            problem, layout, result.x, result.sigma02, mesh=mesh
         )
         if std is not None:
             result.std = std

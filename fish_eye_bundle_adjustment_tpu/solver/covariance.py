@@ -364,6 +364,7 @@ def estimate_schur_stds(
     cg_tol: float = 1e-5,
     cg_maxiter: int = 400,
     dtype=np.float32,
+    mesh=None,
 ) -> np.ndarray:
     """Hutchinson estimate of every unknown's standard deviation.
 
@@ -400,22 +401,62 @@ def estimate_schur_stds(
 
     Cost: n_probe PCG solves at report time (half per block) —
     independent of the GN iteration count and embarrassingly parallel
-    across probes.
+    across probes.  With `mesh`, the probe solves run SPMD over it
+    (obs-sharded shard_map, the dist_schur scheme) instead of rebuilding
+    the problem on one device — the distributed solvers pass their own
+    mesh (VERDICT r3 item 6).  Single-device probes reuse the banded
+    fused matvec when it applies, so the CG sweeps inside each probe run
+    on the Pallas kernel.
     """
+    import jax.sharding as jsh
+    from jax import shard_map
+
     from fish_eye_bundle_adjustment_tpu.solver.schur import (
         ObsData,
         SchurKernel,
         SchurOptions,
         _pcg,
+        make_band_plan,
         make_projection_builder,
     )
 
     opts = SchurOptions(dtype=dtype, obs_order="tie")
-    kernel = SchurKernel(layout, opts, obs_order="tie")
-    order = ObsData.sort_order_by_tie(problem, layout)
-    obs = ObsData.from_problem(
-        problem, layout, dtype=dtype, order=order, with_plan=True
-    )
+    if mesh is None:
+        kernel = SchurKernel(layout, opts, obs_order="tie")
+        band_plan = make_band_plan(problem, layout, opts)
+        if band_plan is not None:
+            obs = ObsData.from_problem(
+                problem, layout, dtype=dtype, band_plan=band_plan
+            )
+        else:
+            order = ObsData.sort_order_by_tie(problem, layout)
+            obs = ObsData.from_problem(
+                problem, layout, dtype=dtype, order=order, with_plan=True
+            )
+    else:
+        from functools import partial as _partial
+
+        from fish_eye_bundle_adjustment_tpu.parallel.mesh import (
+            OBS_AXIS,
+            pad_to_multiple,
+        )
+        from fish_eye_bundle_adjustment_tpu.parallel.dist_schur import (
+            shard_obs,
+        )
+
+        n_dev = int(np.prod(mesh.devices.shape))
+        order = ObsData.sort_order_by_tie(problem, layout)
+        obs = ObsData.from_problem(
+            problem, layout, dtype=dtype,
+            pad_to=pad_to_multiple(problem.n_obs, n_dev), order=order,
+            with_plan=True, shard_plans=n_dev,
+        )
+        obs = shard_obs(obs, mesh)
+        kernel = SchurKernel(
+            layout, opts,
+            reduce_fn=_partial(jax.lax.psum, axis_name=OBS_AXIS),
+            obs_order="tie",
+        )
     use_ic = problem.settings.inner_constraints
     q = jnp.asarray((np.asarray(x) * layout.scale).astype(dtype))
     nc, nt = kernel.nc, kernel.n_tie
@@ -425,17 +466,19 @@ def estimate_schur_stds(
         """One probe through N^-1.  Returns the CONTROL-VARIATE-REDUCED
         pair (zc - M ec, zp - Hpp^-1 ep); with ep = 0 the first entry
         samples the camera block, with ec = 0 the second samples the
-        point-block correction K' Cc K ep (y0 = Hpp^-1 ep cancels)."""
+        point-block correction K' Cc K ep (y0 = Hpp^-1 ep cancels).
+        `ep` arrives/leaves in layout slot order; internals run in the
+        solver's tie id space (rank under the banded plan)."""
         fac = kernel.linearize(q, obs)
         project = project_builder(q)
         precond = fac.make_preconditioner()
         wx, wy = fac._w
         if nt:
-            y0 = fac._hpp_inv_apply(ep)
+            ep_i = fac.tie_from_layout_order(ep)
+            y0 = fac._hpp_inv_apply(ep_i)
             px, py = fac._point_apply(y0)
             rhs = ec - fac._cam_applyT(wx * px, wy * py)
         else:
-            y0 = ep
             rhs = ec
         zc, _, _ = _pcg(
             fac.schur_matvec, rhs, precond, project, cg_tol, cg_maxiter
@@ -443,7 +486,8 @@ def estimate_schur_stds(
         if nt:
             ax, ay = fac._cam_apply(zc)
             t = fac._point_applyT(wx * ax, wy * ay)
-            zp_corr = -fac._hpp_inv_apply(t)  # (zp - y0) = K' Cc K ep for ec=0
+            # (zp - y0) = K' Cc K ep for ec = 0
+            zp_corr = fac.tie_to_layout_order(-fac._hpp_inv_apply(t))
         else:
             zp_corr = jnp.zeros((0, 3), zc.dtype)
         return zc - precond(ec), zp_corr
@@ -454,11 +498,32 @@ def estimate_schur_stds(
 
     def hpp_inv_diag(q, obs):
         fac = kernel.linearize(q, obs)
-        return fac.Hpi_flat[:nt][:, (0, 4, 8)]  # (nt, 3) exact diag
+        return fac.tie_to_layout_order(
+            fac.Hpi_flat[:nt][:, (0, 4, 8)]
+        )  # (nt, 3) exact diag, slot order
 
-    jitted = jax.jit(solve_probe)
-    papply = jax.jit(precond_apply)
-    hdiag = jax.jit(hpp_inv_diag)
+    if mesh is None:
+        jitted = jax.jit(solve_probe)
+        papply = jax.jit(precond_apply)
+        hdiag = jax.jit(hpp_inv_diag)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from fish_eye_bundle_adjustment_tpu.parallel.mesh import OBS_AXIS
+
+        spec = obs.pspec(OBS_AXIS)
+        jitted = jax.jit(shard_map(
+            solve_probe, mesh=mesh, in_specs=(P(), spec, P(), P()),
+            out_specs=(P(), P()), check_vma=False,
+        ))
+        papply = jax.jit(shard_map(
+            precond_apply, mesh=mesh, in_specs=(P(), spec, P()),
+            out_specs=P(), check_vma=False,
+        ))
+        hdiag = jax.jit(shard_map(
+            hpp_inv_diag, mesh=mesh, in_specs=(P(), spec),
+            out_specs=P(), check_vma=False,
+        ))
 
     # exact diag of the block-Jacobi M: apply M to per-block-position
     # indicator patterns (ne patterns cover every pose block at once,
@@ -510,17 +575,19 @@ def compute_stds(
     sigma02: float,
     max_images: int = 2000,
     n_probe: int = 64,
+    mesh=None,
 ):
     """Stds for every unknown: exact block covariance below the dense-S
     gate, Hutchinson estimate past it (the reference always reports
-    +-sigma, main.m:712-897).  Returns (std, Cc_q or None, method)."""
+    +-sigma, main.m:712-897).  Returns (std, Cc_q or None, method).
+    `mesh` (from a distributed solver) runs the probe solves SPMD."""
     cov = schur_covariance(problem, layout, x, sigma02,
                            max_images=max_images)
     if cov is not None:
         return cov.std, cov.Cc_q, "exact"
     if n_probe:
         std = estimate_schur_stds(
-            problem, layout, x, sigma02, n_probe=n_probe
+            problem, layout, x, sigma02, n_probe=n_probe, mesh=mesh
         )
         return std, None, "hutchinson"
     return None, None, None

@@ -650,6 +650,12 @@ class SchurFactors:
             return vp
         return vp[self.obs.band.rank_of_slot]
 
+    def tie_from_layout_order(self, vp):
+        """Layout slot order -> the solver's internal tie id space."""
+        if self.obs.band is None:
+            return vp
+        return vp[self.obs.band.slot_of_rank]
+
     def pose_precond_sym(self):
         """Per-observation symmetric columns (N, ne(ne+1)/2) of the
         pose-diagonal Schur blocks (Hcc diag minus the Hpp^-1 correction),

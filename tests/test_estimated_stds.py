@@ -73,6 +73,23 @@ def test_compute_stds_switches_to_estimator_past_gate():
     assert method2 == "exact" and Cc2 is not None
 
 
+def test_estimator_on_mesh_matches_single_device():
+    """The SPMD probe path (estimate_schur_stds(mesh=...)) reproduces the
+    single-device estimate: same probes, same operator, psum'd reductions
+    (VERDICT r3 item 6 — distributed solvers reuse their own mesh)."""
+    from fish_eye_bundle_adjustment_tpu.parallel.mesh import make_mesh
+
+    problem, res = _solved(n_img=12, n_pts=150, seed=9)
+    layout = ParamLayout(problem)
+    kw = dict(n_probe=8, seed=2, cg_tol=1e-7, cg_maxiter=600)
+    est1 = estimate_schur_stds(problem, layout, res.x, res.sigma02, **kw)
+    estm = estimate_schur_stds(
+        problem, layout, res.x, res.sigma02, mesh=make_mesh(4), **kw
+    )
+    live = est1 > 0
+    np.testing.assert_allclose(estm[live], est1[live], rtol=2e-2, atol=1e-9)
+
+
 @pytest.mark.slow
 def test_distributed_solve_reports_stds():
     from fish_eye_bundle_adjustment_tpu.parallel.dist_schur import (
