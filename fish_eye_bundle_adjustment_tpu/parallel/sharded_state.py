@@ -66,11 +66,18 @@ AX = OBS_AXIS  # one mesh axis serves both the obs shards and pose slices
 
 
 def make_sharded_camera_step(problem: BAProblem, mesh,
-                             options: Optional[SchurOptions] = None):
+                             options: Optional[SchurOptions] = None,
+                             point_mode: str = "replicated"):
     """Build (step_fn, sharded_obs, layout, order).  Same contract as
     dist_schur.make_distributed_step — the full unknown vector stays
     replicated at the step boundary (so run_gn_loop and checkpointing are
-    unchanged); the sharding lives inside the CG solve."""
+    unchanged); the sharding lives inside the CG solve.
+
+    point_mode="sharded" additionally shards the POINT state over the
+    same mesh axis (parallel/tieshard.py): Hpp^-1 and every per-tie
+    segment sum live as (n_tie/N)-sized local spans, with boundary ties
+    completed by an O(N)-word exchange instead of full (n_tie, k) psums
+    — SURVEY §2.5 row 2's camera+point block sharding."""
     opts = options or SchurOptions()
     layout = ParamLayout(problem)
     use_ic = problem.settings.inner_constraints
@@ -90,6 +97,29 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
     )
     obs = shard_obs(obs, mesh)
 
+    ts = None
+    if point_mode == "sharded":
+        from fish_eye_bundle_adjustment_tpu.parallel import tieshard
+
+        if order is None or layout.n_tie == 0:
+            raise ValueError(
+                "point_mode='sharded' needs the tie-sorted stream and "
+                "tie points to shard"
+            )
+        tie = problem.target_tie_slot[problem.obs_pt]
+        tie = np.where(tie >= 0, tie, layout.n_tie).astype(np.int64)
+        tie_sorted = np.concatenate(
+            [tie[order], np.full(padded - problem.n_obs, layout.n_tie,
+                                 np.int64)]
+        )
+        ts = tieshard.build_tie_shard(tie_sorted, layout.n_tie, n_dev)
+        ts = jax.tree.map(
+            lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+            ts, tieshard.pspec(AX, ts),
+        )
+    elif point_mode != "replicated":
+        raise ValueError(f"unknown point_mode {point_mode!r}")
+
     kernel = SchurKernel(
         layout, opts, reduce_fn=partial(jax.lax.psum, axis_name=AX),
         obs_order=opts.obs_order,
@@ -107,10 +137,75 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
             "use solve_schur_distributed for IOP/tie-only problems"
         )
 
-    def body(x, obs_l: ObsData, cg_tol):
+    tie_sharded = point_mode == "sharded"
+
+    def body(x, obs_l: ObsData, ts_l, cg_tol):
         q = x * scale
-        fac = kernel.linearize(q, obs_l)  # Hpp psums inside
         wx, wy = obs_l.W[:, 0], obs_l.W[:, 1]
+        if tie_sharded:
+            # local point state: Hpp built/inverted over this device's
+            # contiguous tie span, boundary ties completed by the O(N)
+            # exchange (parallel/tieshard.py); the SchurFactors view
+            # carries LOCAL tie ids so its per-obs Hpi gathers (pose
+            # preconditioner correction) hit the local table, with the
+            # sentinel row L = exact zeros for control rows
+            import dataclasses as _dc
+
+            from fish_eye_bundle_adjustment_tpu.parallel.tieshard import (
+                LocalTieOps,
+            )
+            from fish_eye_bundle_adjustment_tpu.solver.schur import (
+                SchurFactors,
+                _inv3x3,
+            )
+
+            lops = LocalTieOps(ts_l, AX)
+            L = lops.L
+            rx, ry, Jex, Jey, Jix, Jiy, Jpx, Jpy = kernel.blocks(q, obs_l)
+            cols = []
+            for a_ in range(3):
+                for b_ in range(a_, 3):
+                    cols.append(
+                        wx * Jpx[:, a_] * Jpx[:, b_]
+                        + wy * Jpy[:, a_] * Jpy[:, b_]
+                    )
+            Hs = lops.segsum(jnp.stack(cols, 1))[:L]
+            lam = opts.point_damping + 1e-300
+            i00, i01, i02, i11, i12, i22 = (Hs[:, j] for j in range(6))
+            Hpp = jnp.stack(
+                [
+                    jnp.stack([i00 + lam, i01, i02], axis=1),
+                    jnp.stack([i01, i11 + lam, i12], axis=1),
+                    jnp.stack([i02, i12, i22 + lam], axis=1),
+                ],
+                axis=1,
+            )
+            Hpi_loc = jnp.concatenate(
+                [_inv3x3(Hpp).reshape(L, 9), jnp.zeros((1, 9), q.dtype)], 0
+            )
+            obs_view = _dc.replace(obs_l, tie=lops.tie_local)
+            fac = SchurFactors(
+                kernel, obs_view, rx, ry, Jex, Jey, Jix, Jiy, Jpx, Jpy,
+                Hpi_loc,
+            )
+
+            def point_applyT(bx, by):
+                tp = Jpx * bx[:, None] + Jpy * by[:, None]
+                return lops.segsum(tp)  # (L+1, 3), boundary-complete
+
+            def hpp_apply(t):
+                H = Hpi_loc.reshape(L + 1, 3, 3)
+                return jnp.einsum("tpq,tq->tp", H, t)  # dummy row -> 0
+
+            def point_apply(yext):
+                yg = yext[lops.tie_local]
+                return jnp.sum(Jpx * yg, 1), jnp.sum(Jpy * yg, 1)
+        else:
+            lops = None
+            fac = kernel.linearize(q, obs_l)  # Hpp psums inside
+            point_applyT = fac._point_applyT
+            hpp_apply = fac._hpp_inv_apply
+            point_apply = fac._point_apply
 
         def img_scatter(cols):
             """Per-obs pose columns -> this device's image slice via
@@ -199,9 +294,9 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
             ax, ay = fac._cam_apply(vc)
             awx, awy = wx * ax, wy * ay
             if kernel.n_tie:
-                t = fac._point_applyT(awx, awy)  # psum inside
-                y = fac._hpp_inv_apply(t)
-                px, py = fac._point_apply(y)
+                t = point_applyT(awx, awy)  # full psum / boundary exchange
+                y = hpp_apply(t)
+                px, py = point_apply(y)
                 awx = awx - wx * px
                 awy = awy - wy * py
             out_p = img_scatter(
@@ -227,9 +322,9 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
         # ---- reduced RHS -------------------------------------------------
         rwx, rwy = wx * fac.rx, wy * fac.ry
         if kernel.n_tie:
-            t = fac._point_applyT(rwx, rwy)
-            y = fac._hpp_inv_apply(t)
-            px, py = fac._point_apply(y)
+            t = point_applyT(rwx, rwy)
+            y = hpp_apply(t)
+            px, py = point_apply(y)
             rwx = rwx - wx * px
             rwy = rwy - wy * py
         rhs = (
@@ -243,11 +338,23 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
         )
         dp_full = jax.lax.all_gather(dc_sh[0], AX, axis=0, tiled=True)[:n_img]
         dc = jnp.concatenate([dp_full.reshape(-1), dc_sh[1]])
-        dp = fac.back_substitute(dc)
+        ax, ay = fac._cam_apply(dc)
+        if kernel.n_tie:
+            # back-substitution through the mode's point machinery; the
+            # global (n_tie, 3) correction materializes exactly once per
+            # step, at the replicated delta_q boundary
+            rhs_p = point_applyT(wx * (fac.rx + ax), wy * (fac.ry + ay))
+            dp_int = hpp_apply(-rhs_p)
+            px, py = point_apply(dp_int)
+            dp = (
+                lops.gather_global(dp_int[: lops.L])
+                if tie_sharded else dp_int
+            )
+        else:
+            dp = jnp.zeros((0, 3), q.dtype)
+            px = py = jnp.zeros_like(fac.rx)
         delta_q = jnp.concatenate([dc, dp.reshape(-1)])
         delta_x = delta_q / scale
-        ax, ay = fac._cam_apply(dc)
-        px, py = fac._point_apply(dp)
         vx = jnp.where(wx > 0, ax + px + fac.rx, 0.0)
         vy = jnp.where(wy > 0, ay + py + fac.ry, 0.0)
         vPv = jax.lax.psum(jnp.sum(vx * vx * wx + vy * vy * wy), AX)
@@ -257,15 +364,29 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
         v_local = jnp.stack([vx, vy], axis=1)
         return x + delta_x, jnp.sum(jnp.abs(delta_x)), v_local, stats, cg_iters
 
-    step = jax.jit(
-        shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(P(), obs.pspec(AX), P()),
-            out_specs=(P(), P(), P(AX), P(), P()),
-            check_vma=False,
+    if tie_sharded:
+        from fish_eye_bundle_adjustment_tpu.parallel import tieshard
+
+        mapped = jax.jit(
+            shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), obs.pspec(AX), tieshard.pspec(AX, ts), P()),
+                out_specs=(P(), P(), P(AX), P(), P()),
+                check_vma=False,
+            )
         )
-    )
+        step = lambda x, o, tol: mapped(x, o, ts, tol)
+    else:
+        step = jax.jit(
+            shard_map(
+                lambda x, o, tol: body(x, o, None, tol),
+                mesh=mesh,
+                in_specs=(P(), obs.pspec(AX), P()),
+                out_specs=(P(), P(), P(AX), P(), P()),
+                check_vma=False,
+            )
+        )
     return step, obs, layout, order
 
 
@@ -279,16 +400,21 @@ def solve_schur_sharded_state(
     checkpoint_path=None,
     checkpoint_every: int = 1,
     compute_covariance: bool = False,
+    point_mode: str = "replicated",
 ) -> DenseResult:
     """Drop-in distributed solve with sharded camera state (same result
     contract as solve_schur_distributed, stds included).
 
     `compute_covariance` defaults OFF (see solve_schur_distributed): the
     report-time covariance path runs single-device probe solves that can
-    dominate at exactly the scales this solver targets — opt in."""
+    dominate at exactly the scales this solver targets — opt in.
+    `point_mode="sharded"` also shards the tie/point state (Hpp^-1 and
+    point segment sums ~ n_tie/N per device, boundary-only exchange)."""
     opts = options or SchurOptions()
     mesh = mesh if mesh is not None else make_mesh()
-    step, obs, layout, order = make_sharded_camera_step(problem, mesh, opts)
+    step, obs, layout, order = make_sharded_camera_step(
+        problem, mesh, opts, point_mode=point_mode
+    )
     x, history, delta_history, v_shard, stats, count, converged, elapsed = (
         run_gn_loop(
             step, obs, layout, problem, opts,
