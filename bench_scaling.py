@@ -179,12 +179,22 @@ def comm_model(problem, layout, opts, cg_iters=10,
         + (n_img * ne * (ne + 1) // 2 + ni * (ni + 1) // 2) * word  # precond
     )
     # sharded camera state: pose all_gather + psum_scatter per matvec,
-    # tie arrays still full psum (until the tie axis is sharded too)
+    # tie arrays still full psum (point_mode="replicated")
     pose = n_img * ne * word
     shc_per_step = (
         (I + 2) * (pose * 2 + ni * word + tie_payload)
         + 6 * n_tie * word
         + (n_img * ne * (ne + 1) // 2) * word
+    )
+    # + tie-axis sharding (point_mode="sharded"): the full (n_tie, k)
+    # psums collapse to O(N)-word boundary exchanges; the global point
+    # correction is gathered once per step (parallel/tieshard.py)
+    nb = 8 - 1  # boundary ties at the modeled N=8
+    tie_sharded_per_step = (
+        (I + 2) * (pose * 2 + ni * word + 3 * nb * word)
+        + 6 * nb * word
+        + (n_img * ne * (ne + 1) // 2) * word
+        + 3 * n_tie * word  # once: back-substitution all_gather
     )
 
     def t_comm(payload, n, gbps, collective="psum"):
@@ -193,7 +203,8 @@ def comm_model(problem, layout, opts, cg_iters=10,
 
     table = []
     for mode, payload in (("replicated_obs_dp", rep_per_step),
-                          ("sharded_camera_state", shc_per_step)):
+                          ("sharded_camera_state", shc_per_step),
+                          ("sharded_camera_plus_tie", tie_sharded_per_step)):
         row = {"mode": mode, "payload_bytes_per_step": int(payload)}
         for n in (2, 8):
             row[f"ici_comm_ms_N{n}"] = round(
