@@ -57,7 +57,13 @@ def main(argv=None):
     layout = ParamLayout(p)
     res = _solve(p)
     t0 = time.perf_counter()
-    exact = schur_covariance(p, layout, res.x, res.sigma02).std
+    # the exact block-covariance path is f64 + host-sized chunked pair
+    # scatters (solver/covariance.py) — pin it to the CPU backend (the
+    # chip would OOM on the pair chunks and has no f64 LU anyway)
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        exact = schur_covariance(p, layout, res.x, res.sigma02).std
     t_exact = time.perf_counter() - t0
     t0 = time.perf_counter()
     est = estimate_schur_stds(

@@ -25,6 +25,19 @@ One HBM read of the stream (amplified only by the span padding T/avg and
 the sublane rounding of D), zero intermediate HBM traffic, no log-N scan
 passes.  A/B numbers vs the XLA prefix-sum segsum are recorded in
 BASELINE.md; `sorted_segment_sum_streaming` is the drop-in entry.
+
+PRODUCTION LINEAGE (round 4): this kernel's grouped-span design — the
+host-static GroupedSegPlan, 128-aligned DMA starts, the rel-row tie
+mask, the (D, N) transposed stream layout — is the foundation of
+ops/fusedmv.py, which generalizes it from one segmented reduction to
+the ENTIRE matrix-free Schur operator (expansion + elimination +
+reduction + preconditioner in one pass) and is what solve_schur runs
+on TPU.  This standalone op remains the minimal form of the idea (and
+its regression benchmark, bench_streamseg.py); routing the generic
+DualAxisPlan reductions through it was measured NOT to pay because the
+(N, D) -> (D, N) transpose at the call boundary costs more than the
+2.1x reduction win — the fused kernel wins precisely because it keeps
+the whole pipeline in the transposed layout.
 """
 
 from __future__ import annotations
