@@ -257,7 +257,17 @@ class SchurOptions:
     # auto: on for the single-device f32 path when the banded plan exists
     # (single shared camera, n_tie > 0, band structure within caps).
     fused: Optional[bool] = None
-    fused_precision: str = "bf16x2"  # 'bf16' | 'bf16x2' mask-dot operands
+    # mask-dot operand precision ('bf16' single pass | 'bf16x2' hi/lo
+    # split, ~1.5e-5 relative).  rhs/backsub/precond use fused_precision
+    # — they set the Gauss-Newton fixed point (the gradient) and the
+    # back-substituted correction.  The CG MATVEC uses
+    # fused_precision_mv: an inexact operator only perturbs the CG
+    # iteration path, not the solution CG converges toward, so the
+    # cheaper single-pass bf16 is safe there (validated by the f32
+    # convergence tests + bench convergence section; measured 13% off
+    # the step).
+    fused_precision: str = "bf16x2"
+    fused_precision_mv: str = "bf16"
     band_M: int = 128  # tie ranks per group
     band_max_W: int = 2048  # reject plans with wider image bands
 
@@ -563,7 +573,7 @@ class SchurFactors:
         return jnp.pad(rows, ((0, 6), (0, band.n_pad - rows.shape[1])))
 
     def _fused_apply(self, vpose=None, vi=None, a_rows=None,
-                     with_precond=False):
+                     with_precond=False, precision=None):
         from fish_eye_bundle_adjustment_tpu.ops.fusedmv import (
             fused_schur_apply,
         )
@@ -573,7 +583,7 @@ class SchurFactors:
             self.obs.band, self.acam_t, self.apt_t, self.hpi_t,
             k.ne, k.ni, vpose=vpose, vi=vi, a_rows=a_rows,
             with_precond=with_precond,
-            precision=k.opts.fused_precision,
+            precision=precision or k.opts.fused_precision,
             # CPU has no Mosaic: tests force opts.fused=True on small
             # blocks and run the kernel in interpret mode
             interpret=jax.default_backend() not in ("tpu", "axon"),
@@ -585,7 +595,9 @@ class SchurFactors:
         k = self.k
         if self.fused:
             vpose, vi = self._fused_v(vc)
-            out_pose, out_iop, _ = self._fused_apply(vpose=vpose, vi=vi)
+            out_pose, out_iop, _ = self._fused_apply(
+                vpose=vpose, vi=vi, precision=k.opts.fused_precision_mv
+            )
             out = self._fused_cam_out(out_pose, out_iop)
             if k.opts.camera_damping:
                 out = out + k.opts.camera_damping * vc

@@ -32,7 +32,11 @@ def _setup(selfcal=False, n_img=16, n_pts=250):
     problem = blk.problem
     layout = ParamLayout(problem)
 
-    opts_f = SchurOptions(dtype=np.float32, fused=True)
+    # pin the matvec to hi/lo precision for the strict comparisons (the
+    # production default runs the CG matvec at single-pass bf16)
+    opts_f = SchurOptions(
+        dtype=np.float32, fused=True, fused_precision_mv="bf16x2"
+    )
     kern_f = SchurKernel(layout, opts_f, obs_order="tie")
     band_plan = make_band_plan(problem, layout, opts_f)
     assert band_plan is not None, "band plan rejected on the test block"
@@ -63,6 +67,28 @@ def test_fused_matvec_matches_xla(selfcal):
     out_x = np.asarray(jax.jit(fac_x.schur_matvec)(vc))
     err = np.linalg.norm(out_f - out_x) / np.linalg.norm(out_x)
     assert err < 5e-4, err
+
+
+def test_bf16_matvec_within_operator_tolerance():
+    """The production CG matvec runs single-pass bf16: its error is a
+    bounded RELATIVE perturbation of the operator (CG still converges
+    to the rhs-defined solution; SchurOptions.fused_precision_mv)."""
+    layout, kern, fac_f, fac_x = _setup()
+    rng = np.random.default_rng(7)
+    vc = jnp.asarray(rng.standard_normal(kern.nc).astype(np.float32))
+    out_x = np.asarray(jax.jit(fac_x.schur_matvec)(vc))
+    out_b = np.asarray(
+        jax.jit(
+            lambda v: fac_f._fused_cam_out(
+                *fac_f._fused_apply(
+                    vpose=fac_f._fused_v(v)[0], vi=fac_f._fused_v(v)[1],
+                    precision="bf16",
+                )[:2]
+            )
+        )(vc)
+    )
+    err = np.linalg.norm(out_b - out_x) / np.linalg.norm(out_x)
+    assert err < 3e-2, err
 
 
 def test_fused_rhs_and_backsub_match_xla():
