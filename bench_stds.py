@@ -22,11 +22,23 @@ def _solve(problem, dtype=np.float32):
         SchurOptions,
         solve_schur,
     )
+    from fish_eye_bundle_adjustment_tpu.utils.observe import SolverDivergence
 
-    return solve_schur(
-        problem, SchurOptions(dtype=dtype, cg_maxiter=40),
-        keep_history=False, compute_covariance=False,
-    )
+    try:
+        return solve_schur(
+            problem, SchurOptions(dtype=dtype, cg_maxiter=40),
+            keep_history=False, compute_covariance=False,
+        )
+    except SolverDivergence as e:
+        # one observed transient on the tunneled chip produced a
+        # 20x-wrong first step that no rerun of the identical
+        # executable+data reproduced (r4 log); retry once before
+        # declaring the run bad
+        print(f"# divergence ({e}); retrying once", file=sys.stderr)
+        return solve_schur(
+            problem, SchurOptions(dtype=dtype, cg_maxiter=40),
+            keep_history=False, compute_covariance=False,
+        )
 
 
 def main(argv=None):
