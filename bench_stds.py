@@ -22,23 +22,10 @@ def _solve(problem, dtype=np.float32):
         SchurOptions,
         solve_schur,
     )
-    from fish_eye_bundle_adjustment_tpu.utils.observe import SolverDivergence
-
-    try:
-        return solve_schur(
-            problem, SchurOptions(dtype=dtype, cg_maxiter=40),
-            keep_history=False, compute_covariance=False,
-        )
-    except SolverDivergence as e:
-        # one observed transient on the tunneled chip produced a
-        # 20x-wrong first step that no rerun of the identical
-        # executable+data reproduced (r4 log); retry once before
-        # declaring the run bad
-        print(f"# divergence ({e}); retrying once", file=sys.stderr)
-        return solve_schur(
-            problem, SchurOptions(dtype=dtype, cg_maxiter=40),
-            keep_history=False, compute_covariance=False,
-        )
+    return solve_schur(
+        problem, SchurOptions(dtype=dtype, cg_maxiter=40),
+        keep_history=False, compute_covariance=False,
+    )
 
 
 def main(argv=None):
@@ -100,10 +87,15 @@ def main(argv=None):
           f"median rel {np.median(rel):.3f}", file=sys.stderr)
 
     # ---- wall time at scale (no exact possible) -------------------------
+    # mild initialization: at 5k images the default synth perturbations
+    # (pose 0.5 / point 1.0) genuinely diverge undamped Gauss-Newton in
+    # BOTH the fused and XLA paths (measured r4) — this harness times
+    # the std estimator, so start near the basin
     blk = make_block(
         n_img=args.scale_img, n_pts=args.scale_pts, model="fisheye",
         seed=4, settings_overrides={"inner_constraints": False},
-        control_frac=0.01,
+        control_frac=0.01, init_pose_sigma=0.1, init_angle_sigma=5e-4,
+        init_point_sigma=0.2,
     )
     p = blk.problem
     layout = ParamLayout(p)

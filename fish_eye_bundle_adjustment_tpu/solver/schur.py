@@ -253,6 +253,15 @@ class SchurOptions:
     # the converged solution while cutting most CG sweeps.
     adaptive_forcing: bool = True
     forcing_max: float = 1e-2
+    # NB on globalization: undamped Gauss-Newton genuinely diverges on
+    # strongly-nonlinear large blocks (measured r4: 5k-image synth
+    # blocks with the generator's default perturbations NaN in 4-6
+    # iterations in BOTH the fused and XLA paths).  A host-side
+    # delta-growth backtracker was tried and rejected — without a merit
+    # function it turns hard divergence into a bounded stall with
+    # garbage statistics.  The honest remedies are the existing LM
+    # knobs (point_damping / camera_damping) plus the divergence
+    # detector; an ADAPTIVE damping schedule is future work.
     # Fused banded Pallas matvec/rhs/backsub (ops/fusedmv.py).  None ->
     # auto: on for the single-device f32 path when the banded plan exists
     # (single shared camera, n_tie > 0, band structure within caps).
