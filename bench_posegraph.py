@@ -40,7 +40,7 @@ def main(argv=None):
     t0 = time.perf_counter()
     pg = solve_posegraph(
         problem, n_blocks=args.blocks, options=opts, refine=True,
-        parallel_blocks=True,
+        parallel_blocks=True, compute_covariance=False,
     )
     t_total = time.perf_counter() - t0
     ref = pg.refined

@@ -252,11 +252,10 @@ def _solve_blocks(subs, options, block_solver, parallel_blocks):
     thread pool with each worker pinned to a visible device round-robin.
     On one chip the host-side work (trace/compile/IO) still overlaps; on
     a real slice each block owns a device."""
+    # block covariances are never used (the merge consumes x only)
+    kw = dict(options=options, keep_history=False, compute_covariance=False)
     if not parallel_blocks or len(subs) == 1:
-        return [
-            block_solver(sb.problem, options=options, keep_history=False)
-            for sb in subs
-        ]
+        return [block_solver(sb.problem, **kw) for sb in subs]
     import concurrent.futures
 
     import jax
@@ -266,7 +265,7 @@ def _solve_blocks(subs, options, block_solver, parallel_blocks):
     def run(i_sb):
         i, sb = i_sb
         with jax.default_device(devices[i % len(devices)]):
-            return block_solver(sb.problem, options=options, keep_history=False)
+            return block_solver(sb.problem, **kw)
 
     workers = min(len(subs), max(len(devices), 2))
     with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
@@ -291,6 +290,7 @@ def solve_posegraph(
     min_shared: int = 3,
     block_solver=solve_schur,
     parallel_blocks: bool = True,
+    compute_covariance: bool = True,
 ) -> PoseGraphResult:
     """Partition -> block solves -> similarity pose-graph merge -> refine.
 
@@ -372,10 +372,12 @@ def solve_posegraph(
             )
 
             out.refined = solve_schur_distributed(
-                problem, refine_mesh, options=options, keep_history=False, x0=x0
+                problem, refine_mesh, options=options, keep_history=False,
+                x0=x0, compute_covariance=compute_covariance,
             )
         else:
             out.refined = solve_schur(
-                problem, options=options, keep_history=False, x0=x0
+                problem, options=options, keep_history=False, x0=x0,
+                compute_covariance=compute_covariance,
             )
     return out

@@ -88,6 +88,25 @@ def schur_covariance(
     if problem.n_img > max_images:
         return None
 
+    # This path is float64 with host-sized chunked pair scatters (module
+    # docstring): pin it to the CPU backend — on a 16 GB chip the pair
+    # chunks OOM (measured r4: a 65 GB broadcast at pair_chunk=2M) and
+    # TPU f64 is emulated anyway.  The Hutchinson estimator below is the
+    # on-chip path.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return _schur_covariance_impl(
+            problem, layout, x, sigma02, pair_chunk
+        )
+
+
+def _schur_covariance_impl(problem, layout, x, sigma02, pair_chunk):
+    from fish_eye_bundle_adjustment_tpu.solver.schur import (
+        ObsData,
+        SchurKernel,
+        SchurOptions,
+    )
+
     opts = SchurOptions(dtype=np.float64, obs_order="tie")
     kernel = SchurKernel(layout, opts, obs_order="tie")
     ne, ni = kernel.ne, kernel.ni
