@@ -114,7 +114,7 @@ def _make_step(problem, dtype, cg_maxiter=10, use_explicit=False):
     raw = schur_step_fn(kernel, layout, False, pairs=pairs)
     if pairs is not None:
         jit_raw = jax.jit(raw)
-        step = lambda x, obs_, tol: jit_raw(x, obs_, tol, pairs)
+        step = lambda x, obs_, tol: jit_raw(x, obs_, tol, 0.0, pairs)
     else:
         step = jax.jit(raw)
     x0 = jnp.asarray(layout.initial().astype(dtype))

@@ -121,9 +121,9 @@ def main(argv=None):
 
     step = jax.jit(schur_step_fn(kernel, layout, False, pairs=pairs))
     tol = jnp.asarray(1e-4, dtype)
-    out = step(x0, obs, tol, pairs)
+    out = step(x0, obs, tol, 0.0, pairs)
     jax.block_until_ready(out)
-    print(f"whole explicit step {timeit(step, x0, obs, tol, pairs)*1e3:9.2f} ms")
+    print(f"whole explicit step {timeit(step, x0, obs, tol, 0.0, pairs)*1e3:9.2f} ms")
 
     mstep = jax.jit(schur_step_fn(kernel, layout, False))
     out = mstep(x0, obs, tol)

@@ -83,7 +83,7 @@ def main(argv=None):
     print(f"linearize (blocks+Hpp):    {t*1e3:8.2f} ms")
 
     # preconditioner build
-    pre = jax.jit(lambda f: f.make_preconditioner()(jnp.ones(kernel.nc, dtype)))
+    pre = jax.jit(lambda f: f.make_preconditioner()[0](jnp.ones(kernel.nc, dtype)))
     t = timeit(lambda: pre(fac), reps=5)
     print(f"precond build+apply:       {t*1e3:8.2f} ms")
 

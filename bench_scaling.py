@@ -81,12 +81,13 @@ def main(argv=None):
 
     def time_steps(step, x, obs, steps):
         tol = jnp.asarray(1e-4, opts.dtype)
-        out = step(x, obs, tol)
+        lam = jnp.asarray(0.0, opts.dtype)
+        out = step(x, obs, tol, lam)
         float(out[1])  # compile + sync
         t0 = time.perf_counter()
         xs = x
         for _ in range(steps):
-            out = step(xs, obs, tol)
+            out = step(xs, obs, tol, lam)
             xs = out[0]
             float(out[1])
         return (time.perf_counter() - t0) / steps

@@ -362,11 +362,11 @@ def fused_schur_apply(
         num_scalar_prefetch=5,  # sb, fr, er, ib, vi
         grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # acam
-            pl.BlockSpec(memory_space=pltpu.ANY),  # apt
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rel
-            pl.BlockSpec(memory_space=pltpu.ANY),  # imgrow
-            pl.BlockSpec(memory_space=pltpu.ANY),  # a_rows
+            pl.BlockSpec(memory_space=pl.ANY),  # acam
+            pl.BlockSpec(memory_space=pl.ANY),  # apt
+            pl.BlockSpec(memory_space=pl.ANY),  # rel
+            pl.BlockSpec(memory_space=pl.ANY),  # imgrow
+            pl.BlockSpec(memory_space=pl.ANY),  # a_rows
             pl.BlockSpec(  # vpose: whole, resident
                 vpose.shape,
                 lambda g, *_: (jnp.zeros((), jnp.int32),) * 2,

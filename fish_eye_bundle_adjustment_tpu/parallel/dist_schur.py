@@ -111,7 +111,7 @@ def make_distributed_step(problem: BAProblem, mesh, options: Optional[SchurOptio
         shard_map(
             local_step,
             mesh=mesh,
-            in_specs=(P(), obs.pspec(OBS_AXIS), P()),
+            in_specs=(P(), obs.pspec(OBS_AXIS), P(), P()),
             out_specs=(P(), P(), P(OBS_AXIS), P(), P()),
             check_vma=False,  # replicated outputs are produced via explicit psum
         )

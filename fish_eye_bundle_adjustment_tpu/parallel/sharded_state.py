@@ -57,6 +57,7 @@ from fish_eye_bundle_adjustment_tpu.solver.schur import (
     _finalize,
     _pcg,
     _segsum,
+    _stable_sum,
     run_gn_loop,
     unpermute_v,
 )
@@ -138,9 +139,11 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
         )
 
     tie_sharded = point_mode == "sharded"
+    adaptive = opts.adaptive_damping
 
-    def body(x, obs_l: ObsData, ts_l, cg_tol):
+    def body(x, obs_l: ObsData, ts_l, cg_tol, lam):
         q = x * scale
+        lam_t = lam if adaptive else None
         wx, wy = obs_l.W[:, 0], obs_l.W[:, 1]
         if tie_sharded:
             # local point state: Hpp built/inverted over this device's
@@ -170,13 +173,14 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
                         + wy * Jpy[:, a_] * Jpy[:, b_]
                     )
             Hs = lops.segsum(jnp.stack(cols, 1))[:L]
-            lam = opts.point_damping + 1e-300
+            lam_fix = opts.point_damping + 1e-300
+            dsc = 1.0 if lam_t is None else 1.0 + lam_t
             i00, i01, i02, i11, i12, i22 = (Hs[:, j] for j in range(6))
             Hpp = jnp.stack(
                 [
-                    jnp.stack([i00 + lam, i01, i02], axis=1),
-                    jnp.stack([i01, i11 + lam, i12], axis=1),
-                    jnp.stack([i02, i12, i22 + lam], axis=1),
+                    jnp.stack([i00 * dsc + lam_fix, i01, i02], axis=1),
+                    jnp.stack([i01, i11 * dsc + lam_fix, i12], axis=1),
+                    jnp.stack([i02, i12, i22 * dsc + lam_fix], axis=1),
                 ],
                 axis=1,
             )
@@ -202,7 +206,7 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
                 return jnp.sum(Jpx * yg, 1), jnp.sum(Jpy * yg, 1)
         else:
             lops = None
-            fac = kernel.linearize(q, obs_l)  # Hpp psums inside
+            fac = kernel.linearize(q, obs_l, lam=lam_t)  # Hpp psums inside
             point_applyT = fac._point_applyT
             hpp_apply = fac._hpp_inv_apply
             point_apply = fac._point_apply
@@ -233,14 +237,34 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
         # pose diagonal of S (with the Hpp^-1 correction), per local image:
         # the shared per-observation sym columns (SchurFactors) reduced
         # into this device's image slice
+        # adaptive-LM damping vector: raw diag(Hcc) (NOT diag(S) — see
+        # SchurKernel.linearize), pose part reduced straight into this
+        # device's image slice by the same psum_scatter the matvec uses
+        if lam_t is not None:
+            de = wx[:, None] * fac.Jex**2 + wy[:, None] * fac.Jey**2
+            dcc_pose = img_scatter(de)  # (m_loc, ne)
+            dcc_iop = (
+                iop_reduce(
+                    wx[:, None] * fac.Jix**2 + wy[:, None] * fac.Jiy**2
+                )
+                if ni else jnp.zeros((n_cam, 0), q.dtype)
+            )
+        else:
+            dcc_pose = dcc_iop = None
         pose_blocks = _expand_sym(img_scatter(fac.pose_precond_sym()), ne)
         # padded image slots have all-zero blocks: make them identity so
         # the inverse is finite (their CG rows are identically zero)
         empty = (jnp.abs(pose_blocks).sum((1, 2)) == 0)[:, None, None]
         eye = jnp.eye(ne, dtype=pose_blocks.dtype)
+        if lam_t is not None:
+            pose_blocks = pose_blocks + lam_t * dcc_pose[..., None] * eye
         pose_inv = jnp.linalg.inv(pose_blocks + jnp.where(empty, eye, 1e-300 * eye))
         if ni:
             iop_blocks = _expand_sym(iop_reduce(fac.iop_precond_sym()), ni)
+            if lam_t is not None:
+                iop_blocks = iop_blocks + (
+                    lam_t * dcc_iop[..., None] * jnp.eye(ni, dtype=q.dtype)
+                )
             iop_inv = jnp.linalg.inv(
                 iop_blocks + 1e-300 * jnp.eye(ni, dtype=iop_blocks.dtype)
             )
@@ -311,6 +335,9 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
             if opts.camera_damping:
                 out_p = out_p + opts.camera_damping * vp_loc
                 out_i = out_i + opts.camera_damping * vi
+            if lam_t is not None:
+                out_p = out_p + lam_t * dcc_pose * vp_loc
+                out_i = out_i + lam_t * dcc_iop.reshape(-1) * vi
             return (out_p, out_i)
 
         def dot(a, b):
@@ -357,12 +384,22 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
         delta_x = delta_q / scale
         vx = jnp.where(wx > 0, ax + px + fac.rx, 0.0)
         vy = jnp.where(wy > 0, ay + py + fac.ry, 0.0)
-        vPv = jax.lax.psum(jnp.sum(vx * vx * wx + vy * vy * wy), AX)
+        vPv = jax.lax.psum(_stable_sum(vx * vx * wx + vy * vy * wy), AX)
         sum_vx2 = jax.lax.psum(jnp.sum(vx * vx), AX)
         sum_vy2 = jax.lax.psum(jnp.sum(vy * vy), AX)
-        stats = jnp.stack([vPv, sum_vx2, sum_vy2])
+        rxm = jnp.where(wx > 0, fac.rx, 0.0)
+        rym = jnp.where(wy > 0, fac.ry, 0.0)
+        cost_old = jax.lax.psum(
+            _stable_sum(wx * rxm**2 + wy * rym**2), AX
+        )
+        x_trial = x + delta_x
+        cost_new = (
+            kernel.residual_cost(x_trial * scale, obs_l) if adaptive
+            else cost_old
+        )
+        stats = jnp.stack([vPv, sum_vx2, sum_vy2, cost_old, cost_new])
         v_local = jnp.stack([vx, vy], axis=1)
-        return x + delta_x, jnp.sum(jnp.abs(delta_x)), v_local, stats, cg_iters
+        return x_trial, jnp.sum(jnp.abs(delta_x)), v_local, stats, cg_iters
 
     if tie_sharded:
         from fish_eye_bundle_adjustment_tpu.parallel import tieshard
@@ -371,18 +408,18 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
             shard_map(
                 body,
                 mesh=mesh,
-                in_specs=(P(), obs.pspec(AX), tieshard.pspec(AX, ts), P()),
+                in_specs=(P(), obs.pspec(AX), tieshard.pspec(AX, ts), P(), P()),
                 out_specs=(P(), P(), P(AX), P(), P()),
                 check_vma=False,
             )
         )
-        step = lambda x, o, tol: mapped(x, o, ts, tol)
+        step = lambda x, o, tol, lam: mapped(x, o, ts, tol, lam)
     else:
         step = jax.jit(
             shard_map(
-                lambda x, o, tol: body(x, o, None, tol),
+                lambda x, o, tol, lam: body(x, o, None, tol, lam),
                 mesh=mesh,
-                in_specs=(P(), obs.pspec(AX), P()),
+                in_specs=(P(), obs.pspec(AX), P(), P()),
                 out_specs=(P(), P(), P(AX), P(), P()),
                 check_vma=False,
             )

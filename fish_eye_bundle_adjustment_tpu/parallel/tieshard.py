@@ -56,7 +56,8 @@ class TieShardArrays:
     ends: jax.Array
     # (N, Bp) int32: local slot of each global boundary tie (L = absent)
     bslot: jax.Array
-    # (N, 1) int32: first owned local slot / count of owned ties
+    # (N, 1) int32: first owned local slot / owned slot-range LENGTH
+    # (owned ids may contain zero-observation holes; see build_tie_shard)
     own_lo: jax.Array
     own_n: jax.Array
     # replicated reassembly map: global tie -> (owner device, local slot
@@ -81,7 +82,14 @@ def build_tie_shard(tie_sorted: np.ndarray, n_tie: int,
 
     # global tie start rows (ties tile the live prefix contiguously)
     starts = np.searchsorted(tie_sorted, np.arange(n_tie + 1))
+    counts = np.diff(starts)
     owner_of_tie = np.minimum(starts[:-1] // m, n_shards - 1).astype(np.int64)
+    # a tie with ZERO observations (legal: .tie entries are checked against
+    # .cnt, not .pho) has no rows anywhere; its "start" is the next tie's
+    # start, which can land in a shard whose live span excludes it and
+    # poison own_lo (r4 advisor finding).  Route such ties to a virtual
+    # zero plane (owner == n_shards): their correct dp is exactly 0.
+    owner_of_tie[counts == 0] = n_shards
 
     spans = []  # (t_lo, t_hi_incl) live tie range per shard; (-1,-2) if none
     for d in range(n_shards):
@@ -126,9 +134,15 @@ def build_tie_shard(tie_sorted: np.ndarray, n_tie: int,
                     bslot[d, j] = t - lo
             owned = np.nonzero(owner_of_tie == d)[0]
             if owned.size:
+                # positions are SLOT-based (owned[i] - owned[0]), not rank
+                # among owned: an interior zero-observation tie punches a
+                # hole in the owned id range, and its hole slot (which
+                # correctly holds 0 — no rows ever reduce into it) must
+                # not shift later owned ties' positions
                 own_lo[d, 0] = int(owned[0]) - lo
-                own_n[d, 0] = owned.size
-                pos_in_owner[owned] = np.arange(owned.size, dtype=np.int32)
+                own_n[d, 0] = int(owned[-1] - owned[0] + 1)
+                pos_in_owner[owned] = (owned - owned[0]).astype(np.int32)
+                assert own_lo[d, 0] >= 0, (d, own_lo[d, 0])
     max_own = int(own_n.max()) if n_tie else 0
 
     return TieShardArrays(
@@ -227,4 +241,8 @@ class LocalTieOps:
             padded, self.own_lo, self.max_own, 0
         )  # (max_own, k); rows past own_n are garbage, masked by the map
         allg = jax.lax.all_gather(own, self.ax, axis=0)  # (N, max_own, k)
+        # virtual zero plane for zero-observation ties (owner == n_shards)
+        allg = jnp.concatenate(
+            [allg, jnp.zeros((1, self.max_own, k), allg.dtype)], axis=0
+        )
         return allg[self.owner_of_tie, self.pos_in_owner]  # (n_tie, k)

@@ -490,7 +490,7 @@ def estimate_schur_stds(
         solver's tie id space (rank under the banded plan)."""
         fac = kernel.linearize(q, obs)
         project = project_builder(q)
-        precond = fac.make_preconditioner()
+        precond = fac.make_preconditioner()[0]
         wx, wy = fac._w
         if nt:
             ep_i = fac.tie_from_layout_order(ep)
@@ -513,7 +513,7 @@ def estimate_schur_stds(
 
     def precond_apply(q, obs, v):
         fac = kernel.linearize(q, obs)
-        return fac.make_preconditioner()(v)
+        return fac.make_preconditioner()[0](v)
 
     def hpp_inv_diag(q, obs):
         fac = kernel.linearize(q, obs)

@@ -127,12 +127,24 @@ def solve_dense(
         return delta_q
 
     @jax.jit
-    def step(x):
+    def step(x, lam):
+        """One damped GN step; lam is the traced adaptive-LM parameter
+        (0.0 -> the reference's pure GN step).  Marquardt scaling
+        N + lam*diag(N) preserves the fixed point (the rhs u = A'Pw is
+        untouched); the constraint border is never damped."""
         q, A, w, N, uvec = _normal_eq(x)
-        delta_q = _delta(q, N, uvec)
+        Nd = N + lam * jnp.diagonal(N) * jnp.eye(u, dtype=N.dtype)
+        delta_q = _delta(q, Nd, uvec)
         delta_x = delta_q / scale
         v = A @ delta_q + w  # linearized residual (main.m:569)
-        return x + delta_x, jnp.sum(jnp.abs(delta_x)), v, delta_q
+        cost_old = jnp.sum(p_diag * w * w)
+        model_new = jnp.sum(p_diag * v * v)
+        w_new = lin.residuals((x + delta_x) * scale).reshape(-1)
+        cost_new = jnp.sum(p_diag * w_new * w_new)
+        return (
+            x + delta_x, jnp.sum(jnp.abs(delta_x)), v, delta_q,
+            jnp.stack([cost_old, model_new, cost_new]),
+        )
 
     @jax.jit
     def covariance(x):
@@ -155,11 +167,39 @@ def solve_dense(
     converged = False
     count = 0
     x_prev = x
+    # adaptive-LM trust-region control (same controller as
+    # solver/schur.py run_gn_loop): lam stays 0 while every GN step is
+    # accepted — the reference-parity trajectory — and kicks in only when
+    # the true weighted SSR increases (main.m has no globalization and
+    # can silently loop to its cap on a divergent block)
+    lam, nu = 0.0, 2.0
+    slack_rel = float(np.finfo(np.float64).eps) ** (2.0 / 3.0)
     while True:
+        x_trial, deltasum, v_trial, _, costs = step(x, jnp.asarray(lam))
+        deltasum = float(deltasum)
+        cost_old, model_new, cost_new = np.asarray(costs, dtype=np.float64)
+        actual, pred = cost_old - cost_new, cost_old - model_new
+        slack = slack_rel * max(cost_old, 1.0)
+        finite = np.isfinite(cost_new) and np.isfinite(deltasum)
+        tiny = finite and deltasum <= settings.threshold
+        if not (tiny or (finite and actual >= -slack)):
+            lam = max(lam * nu, 1e-4)
+            nu = min(nu * 2.0, 64.0)
+            if lam > 1e10:
+                from fish_eye_bundle_adjustment_tpu.utils.observe import (
+                    SolverDivergence,
+                )
+
+                raise SolverDivergence(count + 1, deltasum, delta_history)
+            continue
+        rho = actual / pred if pred > slack else 1.0
+        lam = lam * max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        if lam < 1e-14:
+            lam = 0.0
+        nu = 2.0
         count += 1
         x_prev = x
-        x, deltasum, v, _ = step(x)
-        deltasum = float(deltasum)
+        x, v = x_trial, v_trial
         delta_history.append(deltasum)
         if keep_history:
             history.append(np.asarray(x))

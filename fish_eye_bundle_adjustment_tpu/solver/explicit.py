@@ -338,8 +338,6 @@ def _append_iop_borders(fac, Mt, S):
     if not k.ne:
         return Sii
     EiL_pad = jnp.concatenate([EiL, jnp.zeros((n_cam, ni * 3), dtype)], 0)
-    Eg = EiL_pad[keyo]
-    cross = _flat_abt(Mt, Eg, ne, ni, 3)
     hci_cols = jnp.stack(
         [
             wx * fac.Jex[:, e] * fac.Jix[:, i]
@@ -349,20 +347,29 @@ def _append_iop_borders(fac, Mt, S):
         ],
         axis=1,
     )
-    per_img_ei = fac.obs.plan.secondary_sum(hci_cols - cross).reshape(
-        n_img, ne * ni
-    )
     img_cam = jnp.asarray(k.layout.problem.img_cam)
-    # image i couples only to its own camera's IOP columns
-    Sei = jnp.concatenate(
-        [
-            (per_img_ei * (img_cam == c)[:, None]).reshape(
-                n_img, ne, ni
-            ).reshape(n_img * ne, ni)
-            for c in range(n_cam)
-        ],
-        axis=1,
-    )  # (n_img*ne, n_cam*ni)
+    # The direct Hci term exists only for an image's OWN camera (each
+    # observation's Ji columns live in one camera's block), but the
+    # point-elimination correction couples every image to EVERY camera's
+    # IOPs through shared tie points: Sei[a, c] = Hci(a) [cam(a)==c]
+    # - sum_{o in a} Mt_o @ EiL[tie(o), c]'.  (The r1-r4 form masked the
+    # whole column block to the own camera, silently dropping the
+    # cross-camera corrections — wrong steps for n_cam > 1 self-cal.)
+    cam_blocks = []
+    tie_clip = jnp.minimum(fac.obs.tie, nt)
+    own = fac.obs.cam  # (N,) this observation's camera
+    for c in range(n_cam):
+        key_c = tie_clip * n_cam + c
+        # control rows (tie == nt) land in the zero pad rows
+        key_c = jnp.where(fac.obs.tie >= nt, nt * n_cam + c, key_c)
+        Eg_c = EiL_pad[key_c]  # (N, ni*3)
+        cross_c = _flat_abt(Mt, Eg_c, ne, ni, 3)  # (N, ne*ni)
+        direct_c = hci_cols * (own == c)[:, None]
+        per_img_c = fac.obs.plan.secondary_sum(direct_c - cross_c)
+        cam_blocks.append(
+            per_img_c.reshape(n_img, ne, ni).reshape(n_img * ne, ni)
+        )
+    Sei = jnp.concatenate(cam_blocks, axis=1)  # (n_img*ne, n_cam*ni)
     top = jnp.concatenate([S, Sei], axis=1)
     bot = jnp.concatenate([Sei.T, Sii], axis=1)
     return jnp.concatenate([top, bot], axis=0)

@@ -47,6 +47,7 @@ from fish_eye_bundle_adjustment_tpu.ops.fusedmv import BandArrays
 from fish_eye_bundle_adjustment_tpu.models.projection import (
     MODEL_IDS,
     obs_jacobian_blocks,
+    residual_obs,
 )
 from fish_eye_bundle_adjustment_tpu.solver.constraints import (
     build_G,
@@ -57,6 +58,7 @@ from fish_eye_bundle_adjustment_tpu.utils.layout import ParamLayout
 from fish_eye_bundle_adjustment_tpu.utils import checkpoint as ckpt_mod
 from fish_eye_bundle_adjustment_tpu.utils.observe import (
     IterationRecord,
+    SolverDivergence,
     Stopwatch,
     check_divergence,
 )
@@ -77,6 +79,21 @@ def _expand_sym(sym, k):
         if e != f:
             out = out.at[:, f, e].set(sym[:, idx])
     return out
+
+
+def _stable_sum(vals):
+    """Two-stage chunked summation: pads to a multiple of 1024 and reduces
+    (n/1024, 1024) -> (n/1024,) -> scalar.  Guarantees tree-shaped
+    accumulation independent of XLA's reduce lowering, keeping the f32
+    relative error of a 1M-term weighted SSR near sqrt(N)*eps instead of
+    N*eps — the LM gain ratio subtracts two such sums, so accumulation
+    noise directly widens the accept slack (f64 accumulation is not an
+    option: emulated f64 reduction costs ~9 s/call on the v5e chip)."""
+    flat = vals.reshape(-1)
+    pad = (-flat.shape[0]) % 1024
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    return jnp.sum(jnp.sum(flat.reshape(-1, 1024), axis=1))
 
 
 def _inv3x3(M):
@@ -253,15 +270,32 @@ class SchurOptions:
     # the converged solution while cutting most CG sweeps.
     adaptive_forcing: bool = True
     forcing_max: float = 1e-2
-    # NB on globalization: undamped Gauss-Newton genuinely diverges on
-    # strongly-nonlinear large blocks (measured r4: 5k-image synth
-    # blocks with the generator's default perturbations NaN in 4-6
-    # iterations in BOTH the fused and XLA paths).  A host-side
-    # delta-growth backtracker was tried and rejected — without a merit
-    # function it turns hard divergence into a bounded stall with
-    # garbage statistics.  The honest remedies are the existing LM
-    # knobs (point_damping / camera_damping) plus the divergence
-    # detector; an ADAPTIVE damping schedule is future work.
+    # Globalization (r5): adaptive Levenberg-Marquardt trust-region
+    # schedule.  Undamped Gauss-Newton genuinely diverges on
+    # strongly-nonlinear large blocks (measured r4: 5k-image synth blocks
+    # NaN in 4-6 iterations in both the fused and XLA paths; a 24-image
+    # 3-camera self-cal block diverges at iteration 18).  The step
+    # evaluates the TRUE weighted SSR at the trial point (one extra
+    # residual-only pass) and run_gn_loop accepts/rejects on the gain
+    # ratio rho = actual / predicted decrease (the predicted decrease is
+    # the linearized v'Pv the step already computes for sigma0^2),
+    # updating lambda with Nielsen's schedule.  Damping is
+    # Marquardt-scaled (lambda * diag H): Hpp diagonals scale by
+    # (1 + lambda) inside the elimination — so the damped Hpp^-1 flows
+    # consistently through the reduced rhs, back-substitution, and
+    # preconditioner — and the reduced camera system gets
+    # lambda * diag(S) via the Schur-Jacobi diagonal the preconditioner
+    # already materializes.  lambda enters the jitted step as a TRACED
+    # scalar (no recompilation across accept/reject), starts at 0, and
+    # stays 0 while every step is accepted: well-behaved problems follow
+    # the exact pure-GN trajectory (x*(1+0) and +0*v are arithmetic
+    # no-ops).  The LM fixed point equals the GN fixed point — damping
+    # sits in the step operator, never in the gradient (main.m:412's
+    # iterate-to-convergence contract is preserved, now robustly).
+    adaptive_damping: bool = True
+    init_damping: float = 0.0  # lambda_0 (0 -> pure GN until a rejection)
+    damping_kick: float = 1e-4  # lambda floor applied at the first rejection
+    max_damping: float = 1e10  # exceeded -> SolverDivergence
     # Fused banded Pallas matvec/rhs/backsub (ops/fusedmv.py).  None ->
     # auto: on for the single-device f32 path when the banded plan exists
     # (single shared camera, n_tie > 0, band structure within caps).
@@ -350,7 +384,37 @@ class SchurKernel:
         Jpy = Jp[:, 1, :] * live
         return r[:, 0], r[:, 1], Jex, Jey, Jix, Jiy, Jpx, Jpy
 
-    def linearize(self, q, obs: ObsData) -> "SchurFactors":
+    def residual_cost(self, q, obs: ObsData):
+        """True weighted SSR at q over (a shard of) the observations —
+        residual rows only, no Jacobians: the LM merit function.  Padded
+        rows (W == 0) are masked BEFORE the product so garbage residuals
+        on padding can't poison the sum with 0 * inf."""
+        layout = self.layout
+        eop, iop, pts = layout.unpack_scaled(q)
+        fn = lambda e, i, x, oxy, yd: residual_obs(
+            e, i, x, oxy, yd, self.model_id, self.nk
+        )
+        if self.n_cam == 1:
+            r = jax.vmap(fn, in_axes=(0, None, 0, 0, None))(
+                eop[obs.img], iop[0], pts[obs.pt], obs.xy, obs.ydir_cam[0]
+            )
+        else:
+            r = jax.vmap(fn)(
+                eop[obs.img], iop[obs.cam], pts[obs.pt], obs.xy,
+                obs.ydir_cam[obs.cam],
+            )
+        w = obs.W
+        rm = jnp.where(w > 0, r, 0.0)
+        return self.reduce(
+            _stable_sum(w[:, 0] * rm[:, 0] ** 2 + w[:, 1] * rm[:, 1] ** 2)
+        )
+
+    def linearize(self, q, obs: ObsData, lam=None) -> "SchurFactors":
+        """`lam` (traced scalar or None) is the adaptive LM parameter:
+        Marquardt scaling multiplies the Hpp diagonal by (1 + lam), so the
+        damped Hpp^-1 flows through elimination, reduced rhs,
+        back-substitution, and preconditioner consistently.  None (the
+        covariance/posegraph callers) keeps the undamped operator."""
         rx, ry, Jex, Jey, Jix, Jiy, Jpx, Jpy = self.blocks(q, obs)
         nt = self.n_tie
         wx, wy = obs.W[:, 0], obs.W[:, 1]
@@ -366,13 +430,14 @@ class SchurKernel:
             Hs = self.reduce(
                 _segsum(sym6, obs.tie, nt + 1, sorted_idx=self.sorted_tie)
             )[:nt]
-        lam = self.opts.point_damping + 1e-300
+        lam_fix = self.opts.point_damping + 1e-300
+        dscale = 1.0 if lam is None else 1.0 + lam
         i00, i01, i02, i11, i12, i22 = (Hs[:, j] for j in range(6))
         Hpp = jnp.stack(
             [
-                jnp.stack([i00 + lam, i01, i02], axis=1),
-                jnp.stack([i01, i11 + lam, i12], axis=1),
-                jnp.stack([i02, i12, i22 + lam], axis=1),
+                jnp.stack([i00 * dscale + lam_fix, i01, i02], axis=1),
+                jnp.stack([i01, i11 * dscale + lam_fix, i12], axis=1),
+                jnp.stack([i02, i12, i22 * dscale + lam_fix], axis=1),
             ],
             axis=1,
         )  # (nt, 3, 3)
@@ -381,6 +446,36 @@ class SchurKernel:
         Hpi_flat = jnp.concatenate(
             [Hpp_inv.reshape(nt, 9), jnp.zeros((1, 9), Hpp_inv.dtype)], axis=0
         )
+        # adaptive LM: raw diag(Hcc) as a flat camera vector.  Damping must
+        # use the UNDAMPED full-system diagonal (what the dense path damps
+        # via N + lam*diag(N)) — NOT diag(S): the Schur correction can
+        # drive diag(S) toward zero exactly in the weakly-determined
+        # directions that need damping most (measured: the 24-img/3-cam
+        # selfcal block limit-cycles under lam*diag(S) damping but
+        # converges in a handful of iterations under lam*diag(Hcc),
+        # matching the dense LM trajectory).
+        dcc = None
+        if lam is not None:
+            parts = []
+            if self.ne:
+                de = wx[:, None] * Jex**2 + wy[:, None] * Jey**2  # (N, ne)
+                if obs.plan is not None:
+                    u = obs.plan.secondary_sum(de)
+                else:
+                    u = _segsum(de, obs.img, self.n_img,
+                                sorted_idx=self.sorted_img)
+                parts.append(self.reduce(u).reshape(-1))
+            if self.ni:
+                di = wx[:, None] * Jix**2 + wy[:, None] * Jiy**2
+                if self.n_cam == 1:
+                    ui = jnp.sum(di, axis=0, keepdims=True)
+                else:
+                    ui = _segsum(di, obs.cam, self.n_cam)
+                parts.append(self.reduce(ui).reshape(-1))
+            dcc = (
+                jnp.concatenate(parts) if parts
+                else jnp.zeros((0,), rx.dtype)
+            )
         acam_t = apt_t = hpi_t = None
         if self.use_fused(obs):
             # transposed sqrt(W)-folded streams for the fused banded kernel
@@ -417,7 +512,7 @@ class SchurKernel:
             )
         return SchurFactors(
             self, obs, rx, ry, Jex, Jey, Jix, Jiy, Jpx, Jpy, Hpi_flat,
-            acam_t, apt_t, hpi_t,
+            acam_t, apt_t, hpi_t, dcc,
         )
 
     def use_fused(self, obs: ObsData) -> bool:
@@ -443,7 +538,7 @@ class SchurFactors:
     carried as (x, y) pairs of (N,)/(N, k) arrays."""
 
     def __init__(self, kernel, obs, rx, ry, Jex, Jey, Jix, Jiy, Jpx, Jpy,
-                 Hpi_flat, acam_t=None, apt_t=None, hpi_t=None):
+                 Hpi_flat, acam_t=None, apt_t=None, hpi_t=None, dcc=None):
         self.k = kernel
         self.obs = obs
         self.rx, self.ry = rx, ry
@@ -455,12 +550,15 @@ class SchurFactors:
         self.acam_t = acam_t
         self.apt_t = apt_t
         self.hpi_t = hpi_t
+        # raw diag(Hcc) camera vector for adaptive-LM damping (None when
+        # the linearization was built undamped)
+        self.dcc = dcc
 
     def tree_flatten(self):
         return (
             self.obs, self.rx, self.ry, self.Jex, self.Jey, self.Jix,
             self.Jiy, self.Jpx, self.Jpy, self.Hpi_flat,
-            self.acam_t, self.apt_t, self.hpi_t,
+            self.acam_t, self.apt_t, self.hpi_t, self.dcc,
         ), self.k
 
     @classmethod
@@ -773,53 +871,71 @@ class SchurFactors:
 
         return apply
 
-    def make_preconditioner(self):
-        k = self.k
+    def _precond_from_blocks(self, blocks, lam):
+        """Invert Schur-Jacobi diagonal blocks into the preconditioner
+        apply fn, first damping each block's diagonal by lam * the
+        matching slice of raw diag(Hcc) (self.dcc) — the same damping the
+        LM matvec adds, so the preconditioner approximates the actual
+        damped operator S + lam*diag(Hcc).  `blocks` is [(kind, B)] with
+        B (b, k, k) in [pose | iop] order matching the dcc layout."""
         eye_reg = 1e-300
         Ms = []
-        if k.ne:
-            Pb = self.pose_precond_blocks()
-            Ms.append(("pose", jnp.linalg.inv(Pb + eye_reg * jnp.eye(k.ne, dtype=Pb.dtype))))
-        if k.ni:
-            Ib = self.iop_precond_blocks()
-            Ms.append(("iop", jnp.linalg.inv(Ib + eye_reg * jnp.eye(k.ni, dtype=Ib.dtype))))
+        off = 0
+        for kind, B in blocks:
+            nb = B.shape[-1]
+            nrow = B.shape[0]
+            eye = jnp.eye(nb, dtype=B.dtype)
+            if lam is not None and self.dcc is not None:
+                d = self.dcc[off : off + nrow * nb].reshape(nrow, nb)
+                B = B + lam * d[..., None] * eye
+            off += nrow * nb
+            Ms.append((kind, jnp.linalg.inv(B + eye_reg * eye)))
         return self._precond_apply_from(Ms)
 
-    def rhs_and_precond(self):
-        """(reduced_rhs, preconditioner) — one fused kernel pass when the
-        banded path is active, the separate XLA pipelines otherwise."""
+    def make_preconditioner(self, lam=None):
+        """(preconditioner, raw diag(Hcc) or None); lam damps the blocks
+        (see _precond_from_blocks)."""
+        k = self.k
+        blocks = []
+        if k.ne:
+            blocks.append(("pose", self.pose_precond_blocks()))
+        if k.ni:
+            blocks.append(("iop", self.iop_precond_blocks()))
+        return self._precond_from_blocks(blocks, lam), self.dcc
+
+    def rhs_and_precond(self, lam=None):
+        """(reduced_rhs, preconditioner, raw diag(Hcc) or None) — one
+        fused kernel pass when the banded path is active, the separate XLA
+        pipelines otherwise.  `lam` is the adaptive LM parameter (traced
+        or None)."""
         k = self.k
         if not self.fused:
-            return self.reduced_rhs(), self.make_preconditioner()
+            rhs = self.reduced_rhs()
+            precond, dvec = self.make_preconditioner(lam)
+            return rhs, precond, dvec
         band = self.obs.band
         out_pose, out_iop, _, p21, i55 = self._fused_apply(
             a_rows=self._fused_arows(), with_precond=True
         )
         rhs = -self._fused_cam_out(out_pose, out_iop)
         dtype = self.rx.dtype
-        eye_reg = 1e-300
         damp = k.opts.camera_damping
-        Ms = []
+        blocks = []
         npair = k.ne * (k.ne + 1) // 2
         sym = p21[:npair, : k.n_img].T  # (n_img, npair) rank order
         sym = sym[band.imgrank_of_img].astype(dtype)
         Pb = _expand_sym(sym, k.ne)
         if damp:
             Pb = Pb + damp * jnp.eye(k.ne, dtype=dtype)
-        Ms.append(
-            ("pose", jnp.linalg.inv(Pb + eye_reg * jnp.eye(k.ne, dtype=dtype)))
-        )
+        blocks.append(("pose", Pb))
         if k.ni:
             ipair = k.ni * (k.ni + 1) // 2
             symi = jnp.sum(i55[:ipair], axis=1).reshape(1, ipair).astype(dtype)
             Ib = _expand_sym(symi, k.ni)
             if damp:
                 Ib = Ib + damp * jnp.eye(k.ni, dtype=dtype)
-            Ms.append(
-                ("iop",
-                 jnp.linalg.inv(Ib + eye_reg * jnp.eye(k.ni, dtype=dtype)))
-            )
-        return rhs, self._precond_apply_from(Ms)
+            blocks.append(("iop", Ib))
+        return rhs, self._precond_from_blocks(blocks, lam), self.dcc
 
 
 _CG_UNROLL = 8  # iterations fused per while_loop trip (see _pcg)
@@ -920,25 +1036,39 @@ def make_projection_builder(layout, nc, use_ic: bool):
 
 def schur_step_fn(kernel: SchurKernel, layout: ParamLayout, use_ic: bool,
                   pairs=None):
-    """One Gauss-Newton step as a pure function of (x, obs) — the unit the
-    single-device path jits directly and the distributed path wraps in
-    shard_map.
+    """One (damped) Gauss-Newton step as a pure function of
+    (x, obs, cg_tol, lam) — the unit the single-device path jits directly
+    and the distributed path wraps in shard_map.  `lam` is the traced
+    adaptive-LM parameter (pass 0.0 for a pure GN step).
 
     With `pairs` (a solver.explicit.PairPlan), the reduced camera system is
     materialized densely once per step and CG runs with GEMV matvecs and a
     preconditioner read off S's diagonal; otherwise the matrix-free stream
     matvec is used.  The returned step takes the plan as a TRACED argument
-    (`step(x, obs, cg_tol, pairs)`) — embedding the multi-million-element
-    pair index arrays as jit closure constants sends XLA's constant
-    machinery into multi-minute compiles."""
+    (`step(x, obs, cg_tol, lam, pairs)`) — embedding the
+    multi-million-element pair index arrays as jit closure constants sends
+    XLA's constant machinery into multi-minute compiles.
+
+    Returns (x_trial, L1(delta), v_local, stats, cg_iters) with stats =
+    [vPv_model, sum_vx2, sum_vy2, cost_old, cost_new]: vPv_model is the
+    LINEARIZED weighted SSR at the trial point (sigma0^2 numerator, and
+    the LM predicted cost), cost_old/cost_new the TRUE weighted SSR at the
+    current/trial point (the LM merit function; cost_new is one extra
+    residual-only pass)."""
     opts = kernel.opts
     scale = jnp.asarray(layout.scale, dtype=opts.dtype)
     project_builder = make_projection_builder(layout, kernel.nc, use_ic)
     explicit = pairs is not None
+    adaptive = opts.adaptive_damping
 
-    def step(x, obs: ObsData, cg_tol, pair_arg=None):
+    def step(x, obs: ObsData, cg_tol, lam=0.0, pair_arg=None):
         q = x * scale
-        fac = kernel.linearize(q, obs)
+        lam_t = lam if adaptive else None
+        fac = kernel.linearize(q, obs, lam=lam_t)
+        wx, wy = obs.W[:, 0], obs.W[:, 1]
+        rxm = jnp.where(wx > 0, fac.rx, 0.0)
+        rym = jnp.where(wy > 0, fac.ry, 0.0)
+        cost_old = kernel.reduce(_stable_sum(wx * rxm**2 + wy * rym**2))
         project = project_builder(q)
         if explicit:
             from fish_eye_bundle_adjustment_tpu.solver.explicit import (
@@ -947,13 +1077,20 @@ def schur_step_fn(kernel: SchurKernel, layout: ParamLayout, use_ic: bool,
             )
 
             S = build_dense_S(fac, pair_arg)
+            if lam_t is not None:
+                # damp with raw diag(Hcc) — the dense-parity LM geometry
+                S = S + lam_t * fac.dcc * jnp.eye(S.shape[0], dtype=S.dtype)
             matvec = lambda v: S @ v
             precond = dense_precond(S, kernel)
             rhs = fac.reduced_rhs()
         else:
-            matvec = fac.schur_matvec
             # one fused pass produces both when the banded kernel is on
-            rhs, precond = fac.rhs_and_precond()
+            rhs, precond, dvec = fac.rhs_and_precond(lam=lam_t)
+            if lam_t is not None:
+                base_mv = fac.schur_matvec
+                matvec = lambda v: base_mv(v) + (lam_t * dvec) * v
+            else:
+                matvec = fac.schur_matvec
         dc, cg_iters, cg_rel = _pcg(
             matvec, rhs, precond, project, cg_tol, opts.cg_maxiter
         )
@@ -966,16 +1103,20 @@ def schur_step_fn(kernel: SchurKernel, layout: ParamLayout, use_ic: bool,
         # raw residual of padded obs is bogus — mask by weight sign)
         ax, ay = fac._cam_apply(dc)
         px, py = fac._point_apply(dp)
-        wx, wy = obs.W[:, 0], obs.W[:, 1]
         vx = jnp.where(wx > 0, ax + px + fac.rx, 0.0)
         vy = jnp.where(wy > 0, ay + py + fac.ry, 0.0)
         # weighted sums for sigma0^2 / RMS (global via reduce)
-        vPv = kernel.reduce(jnp.sum(vx * vx * wx + vy * vy * wy))
+        vPv = kernel.reduce(_stable_sum(vx * vx * wx + vy * vy * wy))
         sum_vx2 = kernel.reduce(jnp.sum(vx * vx))
         sum_vy2 = kernel.reduce(jnp.sum(vy * vy))
-        stats = jnp.stack([vPv, sum_vx2, sum_vy2])
+        x_trial = x + delta_x
+        cost_new = (
+            kernel.residual_cost(x_trial * scale, obs) if adaptive
+            else cost_old
+        )
+        stats = jnp.stack([vPv, sum_vx2, sum_vy2, cost_old, cost_new])
         v_local = jnp.stack([vx, vy], axis=1)
-        return x + delta_x, jnp.sum(jnp.abs(delta_x)), v_local, stats, cg_iters
+        return x_trial, jnp.sum(jnp.abs(delta_x)), v_local, stats, cg_iters
 
     return step
 
@@ -990,9 +1131,24 @@ def run_gn_loop(step, obs, layout, problem, opts: SchurOptions,
     Eisenstat-Walker forcing for the inner CG tolerance, divergence
     detection, progress callbacks, and checkpoint/resume.
 
-    `step(x, obs, cg_tol) -> (new_x, deltasum, v_local, stats, cg_iters)`
-    is the jitted single-device or shard_map step.  Returns
+    `step(x, obs, cg_tol, lam) -> (x_trial, deltasum, v_local, stats,
+    cg_iters)` is the jitted single-device or shard_map step (stats =
+    [vPv_model, sum_vx2, sum_vy2, cost_old, cost_new]).  Returns
     (x, history, delta_history, v_local, stats, count, converged, elapsed).
+
+    Globalization (opts.adaptive_damping): trust-region-style LM control.
+    Each step is a TRIAL: the gain ratio rho = (cost_old - cost_new) /
+    (cost_old - vPv_model) — true vs predicted decrease of the weighted
+    SSR — drives accept/reject and Nielsen's lambda schedule
+    (accept: lam *= max(1/3, 1-(2 rho-1)^3), nu=2; reject: lam = max(
+    nu*lam, damping_kick), nu *= 2, x unchanged).  lambda starts at
+    init_damping (default 0) and stays 0 while steps keep being accepted,
+    so well-behaved problems follow the exact undamped GN trajectory.
+    Tiny steps (L1 <= threshold) are always accepted: at the fixed point
+    the damped and undamped corrections coincide.  A small relative slack
+    absorbs f32 summation noise in the cost difference near convergence.
+    lambda > max_damping raises SolverDivergence (no finite damping makes
+    progress — e.g. a structurally singular problem).
 
     `keep_history` copies the full (u,) unknown vector to the host every
     iteration (u=300k x 60 iters ~ 145 MB inside the timed solve) — leave
@@ -1029,14 +1185,59 @@ def run_gn_loop(step, obs, layout, problem, opts: SchurOptions,
                 rel = delta_history[-1] / delta0
                 cg_tol = max(opts.cg_tol, min(opts.forcing_max, rel * rel))
     watch = Stopwatch()
+    adaptive = opts.adaptive_damping
+    lam = float(opts.init_damping)
+    nu = 2.0
+    # cost-difference slack eps^(2/3) * cost (the scipy-TRF convention):
+    # summation noise and genuine sub-noise-floor changes near the fixed
+    # point must never REJECT — a rejection there restarts lambda churn on
+    # differences with no statistical meaning (and breaks step-for-step
+    # parity with the dense path, whose costs round differently)
+    slack_rel = float(np.finfo(np.dtype(opts.dtype)).eps) ** (2.0 / 3.0)
+    rejects = 0
     while True:
-        count += 1
-        x, deltasum, v_local, stats, _ = step(x, obs, jnp.asarray(cg_tol, opts.dtype))
+        x_trial, deltasum, v_trial, stats_t, _ = step(
+            x, obs, jnp.asarray(cg_tol, opts.dtype),
+            jnp.asarray(lam, opts.dtype),
+        )
         deltasum = float(deltasum)
+        if adaptive:
+            s = np.asarray(stats_t, dtype=np.float64)
+            model_new, cost_old, cost_new = s[0], s[3], s[4]
+            actual = cost_old - cost_new
+            pred = cost_old - model_new
+            slack = slack_rel * max(cost_old, 1.0)
+            finite = np.isfinite(cost_new) and np.isfinite(deltasum)
+            tiny = finite and deltasum <= settings.threshold
+            accept = tiny or (finite and actual >= -slack)
+            if not accept:
+                rejects += 1
+                lam = max(lam * nu, opts.damping_kick)
+                nu = min(nu * 2.0, 64.0)
+                if lam > opts.max_damping:
+                    raise SolverDivergence(count + 1, deltasum, delta_history)
+                if progress_fn is not None:
+                    progress_fn(IterationRecord(
+                        count, deltasum, watch.lap(), cg_tol, accepted=False,
+                        damping=lam,
+                    ))
+                continue
+            # Nielsen's accepted-step schedule; rho from noisy sums is
+            # clamped into [0, 1] territory before shaping lambda
+            rho = actual / pred if pred > slack else 1.0
+            lam = lam * max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+            if lam < 1e-14:
+                lam = 0.0
+            nu = 2.0
+        count += 1
+        x, v_local, stats = x_trial, v_trial, stats_t
         delta_history.append(deltasum)
-        check_divergence(count, deltasum, delta_history)
+        if not adaptive:
+            check_divergence(count, deltasum, delta_history)
         if progress_fn is not None:
-            progress_fn(IterationRecord(count, deltasum, watch.lap(), cg_tol))
+            progress_fn(IterationRecord(
+                count, deltasum, watch.lap(), cg_tol, damping=lam,
+            ))
         if checkpoint_path is not None and count % checkpoint_every == 0:
             ckpt_mod.save_checkpoint(
                 checkpoint_path,
@@ -1075,7 +1276,7 @@ def unpermute_v(v_local, order, n_obs):
 
 def _finalize(problem, layout, x, history, delta_history, v_np, stats, count,
               converged, elapsed, keep_history):
-    vPv, sx2, sy2 = (float(s) for s in stats)
+    vPv, sx2, sy2 = (float(s) for s in np.asarray(stats)[:3])
     n = problem.n
     dof = n - layout.u
     if dof <= 0:
@@ -1188,7 +1389,12 @@ def solve_schur(
         validate_inner_constraints(layout)
 
     kernel = SchurKernel(layout, opts, obs_order=opts.obs_order)
-    band_plan = make_band_plan(problem, layout, opts)
+    # explicit_s=True is a force knob (e.g. ahead of dense-S covariance):
+    # honor it over the fused banded path instead of silently ignoring it
+    band_plan = (
+        None if opts.explicit_s is True
+        else make_band_plan(problem, layout, opts)
+    )
     if band_plan is not None:
         obs = ObsData.from_problem(
             problem, layout, dtype=opts.dtype, band_plan=band_plan
@@ -1207,7 +1413,7 @@ def solve_schur(
         )
         pairs = make_pair_plan(problem, layout, opts, order)
     base_step = jax.jit(schur_step_fn(kernel, layout, use_ic, pairs=pairs))
-    step = lambda x, o, tol: base_step(x, o, tol, pairs)
+    step = lambda x, o, tol, lam: base_step(x, o, tol, lam, pairs)
 
     x, history, delta_history, v_local, stats, count, converged, elapsed = (
         run_gn_loop(

@@ -24,9 +24,18 @@ class IterationRecord:
     delta_l1: float
     elapsed_s: float
     cg_tol: Optional[float] = None
+    # adaptive-LM trail (solver/schur.py run_gn_loop): False for a rejected
+    # trial step (x unchanged, lambda raised); `damping` is lambda AFTER
+    # this step's update
+    accepted: bool = True
+    damping: Optional[float] = None
 
     def __str__(self):
         extra = f" cg_tol={self.cg_tol:.2e}" if self.cg_tol is not None else ""
+        if self.damping:
+            extra += f" lm={self.damping:.2e}"
+        if not self.accepted:
+            extra += " REJECTED"
         return (
             f"iter {self.iteration}: sum|delta|={self.delta_l1:.6g} "
             f"t={self.elapsed_s:.3f}s{extra}"

@@ -47,7 +47,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 x = jax.device_put(jnp.asarray(layout.initial()), NamedSharding(mesh, P()))
 tol = jnp.asarray(1e-8)
 for _ in range(3):
-    x, deltasum, _, stats, _ = step(x, obs, tol)
+    x, deltasum, _, stats, _ = step(x, obs, tol, jnp.asarray(0.0, x.dtype))
     if pid == 0:
         print(f"DELTA {float(deltasum):.17e}", flush=True)
 if pid == 0:

@@ -101,9 +101,11 @@ def test_distributed_solve_reports_stds():
         n_img=16, n_pts=200, model="fisheye", seed=7,
         settings_overrides={"inner_constraints": False}, control_frac=0.05,
     )
+    # compute_covariance defaults OFF for the distributed solvers (r4):
+    # stds are an explicit opt-in at distributed scale
     res = solve_schur_distributed(
         blk.problem, make_mesh(), SchurOptions(dtype=np.float64),
-        keep_history=False,
+        keep_history=False, compute_covariance=True,
     )
     assert res.std is not None and np.all(np.isfinite(res.std))
     layout = ParamLayout(blk.problem)

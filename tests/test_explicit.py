@@ -81,7 +81,7 @@ def test_dense_precond_pose_matches_matrix_free():
     v = jnp.asarray(np.random.default_rng(1).standard_normal(kernel.nc))
     # EOP-only mode: both preconditioners are the exact pose Schur-Jacobi
     got = np.asarray(dense_precond(S, kernel)(v))
-    want = np.asarray(fac.make_preconditioner()(v))
+    want = np.asarray(fac.make_preconditioner()[0](v))
     np.testing.assert_allclose(got, want, rtol=1e-9)
 
 

@@ -120,7 +120,7 @@ def test_fused_precond_matches_xla(selfcal):
 
     def run(fac):
         def f(v):
-            rhs, pre = fac.rhs_and_precond()
+            rhs, pre, _ = fac.rhs_and_precond()
             return rhs, pre(v)
 
         return jax.jit(f)(vc)

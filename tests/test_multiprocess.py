@@ -94,7 +94,7 @@ def test_two_process_distributed_step():
     tol = jnp.asarray(1e-8)
     ref = []
     for _ in range(3):
-        x, deltasum, _, _, _ = step(x, obs, tol)
+        x, deltasum, _, _, _ = step(x, obs, tol, jnp.asarray(0.0, x.dtype))
         ref.append(float(deltasum))
     # cross-process (Gloo) reductions reorder f64 sums vs the
     # single-process run; agreement is to reduction-order roundoff
