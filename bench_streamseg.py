@@ -1,4 +1,4 @@
-"""A/B: Pallas streaming segmented reduce (ops/streamseg.py) vs the XLA
+"""A/B: Pallas streaming segmented reduce (ops/attic/streamseg.py) vs the XLA
 prefix-sum segsum (ops/segment.py) at the matvec's real shapes, measured
 in-jit (sequential fori_loop with forced data dependencies) to exclude
 the ~28 ms tunnel dispatch overhead.
@@ -17,7 +17,7 @@ from fish_eye_bundle_adjustment_tpu.ops.segment import (
     SegmentLayout,
     sorted_segment_sum,
 )
-from fish_eye_bundle_adjustment_tpu.ops.streamseg import (
+from fish_eye_bundle_adjustment_tpu.ops.attic.streamseg import (
     GroupedSegPlan,
     sorted_segment_sum_streaming,
     streaming_segment_sum_t,

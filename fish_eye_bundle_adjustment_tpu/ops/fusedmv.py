@@ -19,7 +19,7 @@ contraction against host-planned structure:
     out+= [Ac b] . mask_img'     camera-axis reduction (accumulated)
 
 All streams are sqrt(W)-folded (Ae = sqrt(w) Je etc.), carried
-TRANSPOSED (D, n_pad) — the unpadded HBM layout (see ops/streamseg.py) —
+TRANSPOSED (D, n_pad) — the unpadded HBM layout (see ops/attic/streamseg.py) —
 and double-buffer DMA'd span by span.  The camera vector lives whole in
 VMEM (8 x n_img_pad floats) and is sliced per group at the 128-aligned
 band offset.

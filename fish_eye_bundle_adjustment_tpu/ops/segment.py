@@ -77,21 +77,19 @@ def _exclusive_prefix_at(vals, rows):
     return offs[q] + inner
 
 
-def sorted_segment_sum(vals, layout: SegmentLayout, use_pallas=False):
+def sorted_segment_sum(vals, layout: SegmentLayout):
     """Segment sum of a sorted stream. vals (N, D) -> (n_seg, D).
 
     N is padded to a multiple of CHUNK; rows past the last segment's end
     are ignored (pad ids beyond n_seg).
 
-    The default is the pure-jnp hierarchical prefix: measured on the real
-    v5e chip at 1M rows x {3,6,21} cols it runs ~3 ms vs ~5-6 ms for the
-    Pallas chunk-prefix kernel (ops/prefix.py) and ~11 ms for scatter-add —
-    XLA's multi-pass cumsum beats the hand-written Hillis-Steele scan here,
-    so the kernel stays an explicit opt-in."""
-    if use_pallas:
-        from fish_eye_bundle_adjustment_tpu.ops import prefix as _prefix
-
-        return _prefix.sorted_segment_sum_pallas(vals, layout)
+    Pure-jnp hierarchical prefix: measured on the real v5e chip at 1M
+    rows x {3,6,21} cols it runs ~3 ms vs ~5-6 ms for the Pallas
+    chunk-prefix kernel (ops/attic/prefix.py) and ~11 ms for scatter-add
+    — XLA's multi-pass cumsum beats the hand-written Hillis-Steele scan
+    here.  The hand-kernel lineage that DID win is the banded fused
+    operator (ops/fusedmv.py), which replaces whole passes rather than
+    re-implementing this one."""
     begs, ends = layout.rows()
     n, d = vals.shape
     if n % CHUNK != 0:

@@ -306,11 +306,17 @@ class SchurOptions:
     # back-substituted correction.  The CG MATVEC uses
     # fused_precision_mv: an inexact operator only perturbs the CG
     # iteration path, not the solution CG converges toward, so the
-    # cheaper single-pass bf16 is safe there (validated by the f32
-    # convergence tests + bench convergence section; measured 13% off
-    # the step).
+    # cheaper single-pass bf16 is safe there at moderate scale (validated
+    # by the f32 convergence tests + bench convergence section; measured
+    # 13% off the step).  None -> auto by scale: measured on-chip at 5k
+    # images / 1.5M unknowns, a 100-iteration CG sweep through the
+    # single-pass bf16 operator accumulates operator noise into garbage
+    # steps (linearized model cost ABOVE the pre-step cost — impossible
+    # for exact-arithmetic CG on the true PD operator), while bf16x2
+    # matches the XLA f32 matvec; auto keeps bf16 for u <= 600k and
+    # switches to bf16x2 beyond.
     fused_precision: str = "bf16x2"
-    fused_precision_mv: str = "bf16"
+    fused_precision_mv: Optional[str] = None
     band_M: int = 128  # tie ranks per group
     band_max_W: int = 2048  # reject plans with wider image bands
 
@@ -339,6 +345,10 @@ class SchurKernel:
         self.ne = layout.n_eop
         self.ni = layout.n_iop
         self.nc = layout.eop_size + layout.iop_size
+        # CG-matvec operand precision (see SchurOptions.fused_precision_mv)
+        self.mv_precision = opts.fused_precision_mv or (
+            "bf16" if layout.u <= 600_000 else "bf16x2"
+        )
 
     # -- linearization ---------------------------------------------------
     def blocks(self, q, obs: ObsData):
@@ -703,7 +713,7 @@ class SchurFactors:
         if self.fused:
             vpose, vi = self._fused_v(vc)
             out_pose, out_iop, _ = self._fused_apply(
-                vpose=vpose, vi=vi, precision=k.opts.fused_precision_mv
+                vpose=vpose, vi=vi, precision=k.mv_precision
             )
             out = self._fused_cam_out(out_pose, out_iop)
             if k.opts.camera_damping:

@@ -1,4 +1,4 @@
-"""Streaming segmented-reduce Pallas kernel (ops/streamseg.py) vs numpy,
+"""Streaming segmented-reduce Pallas kernel (ops/attic/streamseg.py) vs numpy,
 run in interpret mode so the fast CPU lane covers the kernel's indexing
 and masking logic (the real-chip A/B lives in bench_streamseg.py)."""
 
@@ -8,7 +8,7 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
-from fish_eye_bundle_adjustment_tpu.ops.streamseg import (  # noqa: E402
+from fish_eye_bundle_adjustment_tpu.ops.attic.streamseg import (  # noqa: E402
     GroupedSegPlan,
     sorted_segment_sum_streaming,
 )
