@@ -323,6 +323,176 @@ def _kernel(sb, fr, er, ib, vi_ref,  # scalar prefetch
             out_i55[...] = out_i55[...] + parti
 
 
+def _hpp_kernel(sb, fr, er, ib,  # scalar prefetch
+                acam, apt, relv, imgv,  # HBM inputs
+                out_hs, out_de, out_di,  # outputs
+                sc_cam, sc_pt, sc_rel, sc_img, sems,  # scratch
+                *, ne, ni, M, T, W, G, precision):
+    """Linearization pass: per-tie Hpp sym columns + raw diag(Hcc), one
+    sweep over the already-folded streams (replaces the XLA sym6 segsum +
+    the adaptive-LM dcc segment sums — two full per-row passes).
+
+    Per group g:  hs[:6] = [ApxApx_ab + ApyApy_ab] . mtie'   (6, M)
+                  de[:ne] += [Aex^2 + Aey^2] . mimg'          (ne, W)
+                  di[:ni] += lane-partials of [Aix^2 + Aiy^2] (ni, 128)
+    (streams are sqrt(w)-folded, so products are the WEIGHTED normal
+    equation entries directly).  Control-tail groups have an empty tie
+    mask (rel = -1) and contribute only to de/di — exactly the Hcc
+    semantics of schur.py linearize."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+    f32 = jnp.float32
+
+    def dmas(gi, slot):
+        start = sb[gi] * 128
+        for j, (src, dst) in enumerate(
+            [(acam, sc_cam), (apt, sc_pt), (relv, sc_rel), (imgv, sc_img)]
+        ):
+            yield pltpu.make_async_copy(
+                src.at[:, pl.ds(start, T)], dst.at[slot],
+                sems.at[slot, jnp.int32(j)],
+            )
+
+    one = jnp.int32(1)
+    two = jnp.int32(2)
+    slot = jax.lax.rem(g, two)
+    nxt = jax.lax.rem(g + one, two)
+    zero = jnp.int32(0)
+
+    @pl.when(g == 0)
+    def _():
+        for c in dmas(zero, zero):
+            c.start()
+        out_de[...] = jnp.zeros(out_de.shape, f32)
+        out_di[...] = jnp.zeros(out_di.shape, f32)
+
+    @pl.when(g + one < G)
+    def _():
+        for c in dmas(g + one, nxt):
+            c.start()
+
+    for c in dmas(g, slot):
+        c.wait()
+
+    start = sb[g] * 128
+    lo = fr[g] - start
+    hi_b = er[g] - start
+    base = ib[g] * 128
+
+    cam = sc_cam[slot]  # (CA, T)
+    pt = sc_pt[slot]  # (8, T)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    live = jnp.logical_and(col >= lo, col < hi_b)
+    livef = live.astype(f32)
+
+    rel_i = sc_rel[slot][0, :].astype(jnp.int32).reshape(1, T)
+    mrow = jax.lax.broadcasted_iota(jnp.int32, (M, T), 0)
+    mtie = jnp.logical_and(mrow == rel_i, live).astype(f32)  # (M, T)
+
+    img_i = sc_img[slot][0, :].astype(jnp.int32).reshape(1, T)
+    wrow = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0) + base
+    mimg = jnp.logical_and(wrow == img_i, live).astype(f32)  # (W, T)
+
+    sym_rows = [
+        pt[a : a + 1] * pt[b : b + 1]
+        + pt[3 + a : 3 + a + 1] * pt[3 + b : 3 + b + 1]
+        for a in range(3) for b in range(a, 3)
+    ]
+    sym = jnp.concatenate(
+        sym_rows + [jnp.zeros((2, T), f32)], axis=0
+    ) * livef  # (8, T)
+    out_hs[...] = _dot(sym, mtie, _CONTRACT_LAST, precision)  # (8, M)
+
+    de_rows = [
+        cam[e : e + 1] * cam[e : e + 1]
+        + cam[ne + e : ne + e + 1] * cam[ne + e : ne + e + 1]
+        for e in range(ne)
+    ]
+    de8 = jnp.concatenate(
+        de_rows + [jnp.zeros((8 - ne, T), f32)], axis=0
+    ) * livef
+    O = _dot(de8, mimg, _CONTRACT_LAST, precision)  # (8, W)
+    off = pl.ds(pl.multiple_of(base, 128), W)
+    out_de[:, off] = out_de[:, off] + O
+    if ni:
+        di_rows = [
+            cam[2 * ne + i : 2 * ne + i + 1] ** 2
+            + cam[2 * ne + ni + i : 2 * ne + ni + i + 1] ** 2
+            for i in range(ni)
+        ]
+        di8 = jnp.concatenate(
+            di_rows + [jnp.zeros((8 - ni, T), f32)], axis=0
+        ) * livef
+        parti = jnp.sum(di8.reshape(8, T // 128, 128), axis=1)
+        out_di[...] = out_di[...] + parti
+
+
+def fused_hpp_pass(
+    band: BandArrays,
+    acam_t: jax.Array,  # (CA, n_pad) f32 folded camera streams
+    apt_t: jax.Array,  # (8, n_pad) f32 folded point streams
+    ne: int,
+    ni: int,
+    precision: str = "bf16x2",
+    interpret: bool = False,
+):
+    """Returns (hs (8, G*M): rows 0-5 = per-tie Hpp sym cols in RANK
+    column order, de (8, n_img_pad): rows 0..ne-1 = raw pose diag(Hcc) in
+    image-RANK columns, di (8, 128): IOP diag lane-partials)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, T, W, G = band.M, band.T, band.W, band.G
+    n_img_pad = band.n_img_pad
+    CA = acam_t.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # sb, fr, er, ib
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # acam
+            pl.BlockSpec(memory_space=pl.ANY),  # apt
+            pl.BlockSpec(memory_space=pl.ANY),  # rel
+            pl.BlockSpec(memory_space=pl.ANY),  # imgrow
+        ],
+        out_specs=[
+            pl.BlockSpec(  # hs per group
+                (8, M), lambda g, *_: (jnp.zeros((), jnp.int32), g),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(  # de resident accumulator
+                (8, n_img_pad),
+                lambda g, *_: (jnp.zeros((), jnp.int32),) * 2,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(  # di resident lane-partials
+                (8, 128), lambda g, *_: (jnp.zeros((), jnp.int32),) * 2,
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, CA, T), jnp.float32),
+            pltpu.VMEM((2, 8, T), jnp.float32),
+            pltpu.VMEM((2, 1, T), jnp.float32),
+            pltpu.VMEM((2, 1, T), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((8, G * M), jnp.float32),
+        jax.ShapeDtypeStruct((8, n_img_pad), jnp.float32),
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),
+    ]
+    kern = functools.partial(
+        _hpp_kernel, ne=ne, ni=ni, M=M, T=T, W=W, G=G, precision=precision
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shapes, interpret=interpret
+    )(band.sb, band.fr, band.er, band.ib,
+      acam_t, apt_t, band.rel, band.imgrow)
+
+
 def fused_schur_apply(
     band: BandArrays,
     acam_t: jax.Array,  # (CA, n_pad) f32, rows [Aex | Aey | Aix | Aiy]

@@ -142,18 +142,17 @@ def solve_schur_distributed(
     mesh = mesh if mesh is not None else make_mesh()
     step, obs, layout, order = make_distributed_step(problem, mesh, opts)
 
-    x, history, delta_history, v_shard, stats, count, converged, elapsed = (
-        run_gn_loop(
-            step, obs, layout, problem, opts,
-            keep_history=keep_history, x0=x0, progress_fn=progress_fn,
-            checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
-            x_sharding=NamedSharding(mesh, P()),
-        )
+    (x, history, delta_history, v_shard, stats, count, converged, elapsed,
+     stopped_on) = run_gn_loop(
+        step, obs, layout, problem, opts,
+        keep_history=keep_history, x0=x0, progress_fn=progress_fn,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        x_sharding=NamedSharding(mesh, P()),
     )
     v_np = unpermute_v(v_shard, order, problem.n_obs)
     result = _finalize(
         problem, layout, x, history, delta_history, v_np, np.asarray(stats),
-        count, converged, elapsed, keep_history,
+        count, converged, elapsed, keep_history, stopped_on,
     )
     if compute_covariance:
         # stds at distributed scale (main.m:712-897 reports +-sigma

@@ -174,13 +174,21 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
                     )
             Hs = lops.segsum(jnp.stack(cols, 1))[:L]
             lam_fix = opts.point_damping + 1e-300
-            dsc = 1.0 if lam_t is None else 1.0 + lam_t
             i00, i01, i02, i11, i12, i22 = (Hs[:, j] for j in range(6))
+            if lam_t is None:
+                d0 = d1 = d2 = 0.0
+            else:
+                # clamped Marquardt diag (see SchurKernel.linearize)
+                mx = jnp.maximum(jnp.maximum(i00, i11), i22)
+                floor = jnp.maximum(1e-6 * mx, 1e-30)
+                d0 = lam_t * jnp.maximum(i00, floor)
+                d1 = lam_t * jnp.maximum(i11, floor)
+                d2 = lam_t * jnp.maximum(i22, floor)
             Hpp = jnp.stack(
                 [
-                    jnp.stack([i00 * dsc + lam_fix, i01, i02], axis=1),
-                    jnp.stack([i01, i11 * dsc + lam_fix, i12], axis=1),
-                    jnp.stack([i02, i12, i22 * dsc + lam_fix], axis=1),
+                    jnp.stack([i00 + d0 + lam_fix, i01, i02], axis=1),
+                    jnp.stack([i01, i11 + d1 + lam_fix, i12], axis=1),
+                    jnp.stack([i02, i12, i22 + d2 + lam_fix], axis=1),
                 ],
                 axis=1,
             )
@@ -241,12 +249,16 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
         # SchurKernel.linearize), pose part reduced straight into this
         # device's image slice by the same psum_scatter the matvec uses
         if lam_t is not None:
+            from fish_eye_bundle_adjustment_tpu.solver.schur import (
+                _clamp_diag,
+            )
+
             de = wx[:, None] * fac.Jex**2 + wy[:, None] * fac.Jey**2
-            dcc_pose = img_scatter(de)  # (m_loc, ne)
+            dcc_pose = _clamp_diag(img_scatter(de))  # (m_loc, ne)
             dcc_iop = (
-                iop_reduce(
+                _clamp_diag(iop_reduce(
                     wx[:, None] * fac.Jix**2 + wy[:, None] * fac.Jiy**2
-                )
+                ))
                 if ni else jnp.zeros((n_cam, 0), q.dtype)
             )
         else:
@@ -452,18 +464,17 @@ def solve_schur_sharded_state(
     step, obs, layout, order = make_sharded_camera_step(
         problem, mesh, opts, point_mode=point_mode
     )
-    x, history, delta_history, v_shard, stats, count, converged, elapsed = (
-        run_gn_loop(
-            step, obs, layout, problem, opts,
-            keep_history=keep_history, x0=x0, progress_fn=progress_fn,
-            checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
-            x_sharding=NamedSharding(mesh, P()),
-        )
+    (x, history, delta_history, v_shard, stats, count, converged, elapsed,
+     stopped_on) = run_gn_loop(
+        step, obs, layout, problem, opts,
+        keep_history=keep_history, x0=x0, progress_fn=progress_fn,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        x_sharding=NamedSharding(mesh, P()),
     )
     v_np = unpermute_v(v_shard, order, problem.n_obs)
     result = _finalize(
         problem, layout, x, history, delta_history, v_np, np.asarray(stats),
-        count, converged, elapsed, keep_history,
+        count, converged, elapsed, keep_history, stopped_on,
     )
     if compute_covariance:
         # exact below the dense-S gate, Hutchinson estimate past it

@@ -69,6 +69,11 @@ class DenseResult:
     # estimate past the dense-S gate).  The report annotates estimated
     # sigmas so a metrology reader can tell them from exact values.
     std_method: Optional[str] = None
+    # why the iteration stopped: "threshold" (reference L1 contract),
+    # "plateau" (precision floor — f32 at scale; still converged=True),
+    # "cap" (iteration cap, converged=False), or None (dense path /
+    # pre-r5 callers)
+    stopped_on: Optional[str] = None
 
     @property
     def names(self):
@@ -133,7 +138,11 @@ def solve_dense(
         N + lam*diag(N) preserves the fixed point (the rhs u = A'Pw is
         untouched); the constraint border is never damped."""
         q, A, w, N, uvec = _normal_eq(x)
-        Nd = N + lam * jnp.diagonal(N) * jnp.eye(u, dtype=N.dtype)
+        dN = jnp.diagonal(N)
+        # relative floor keeps lam*diag damping effective in directions
+        # whose diagonal is ~0 (see schur.py _clamp_diag)
+        dN = jnp.maximum(dN, jnp.maximum(1e-6 * jnp.max(dN), 1e-30))
+        Nd = N + lam * dN * jnp.eye(u, dtype=N.dtype)
         delta_q = _delta(q, Nd, uvec)
         delta_x = delta_q / scale
         v = A @ delta_q + w  # linearized residual (main.m:569)
@@ -203,7 +212,8 @@ def solve_dense(
         delta_history.append(deltasum)
         if keep_history:
             history.append(np.asarray(x))
-        if deltasum <= settings.threshold:
+        # converge only once damping has decayed (see run_gn_loop note)
+        if deltasum <= settings.threshold and lam <= 1e-3:
             converged = True
             break
         if count >= settings.iteration_cap:

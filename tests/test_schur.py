@@ -133,3 +133,38 @@ class TestMultiCamera:
         assert p2.n_cam == 2
         np.testing.assert_array_equal(p2.obs_cam, blk.problem.obs_cam)
         assert solve_schur(p2, keep_history=False).converged
+
+
+class TestPCGGuards:
+    def test_negative_curvature_terminates(self):
+        """The r4 5k-image 'deterministic divergence' mechanism: f32
+        rounding on an ill-conditioned system measures pAp <= 0 near the
+        CG noise floor, and the unguarded alpha = rz/pAp takes a huge
+        wrong-signed step (model cost exploded 1e7 -> 1e11 on-chip).
+        _pcg must TERMINATE on non-positive curvature and return the
+        best-so-far iterate."""
+        import jax.numpy as jnp
+
+        from fish_eye_bundle_adjustment_tpu.solver.schur import _pcg
+
+        # explicitly indefinite operator (stands in for a rounding-
+        # indefinite near-singular f32 matvec): one -1e-3 eigenvalue
+        rng = np.random.default_rng(0)
+        n = 64
+        Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+        eigs = np.linspace(1.0, 2.0, n)
+        eigs[0] = -1e-3
+        A = (Q * eigs) @ Q.T
+        b = rng.normal(size=n)
+        A_j = jnp.asarray(A, jnp.float32)
+        b_j = jnp.asarray(b, jnp.float32)
+        x, iters, rel = _pcg(
+            lambda v: A_j @ v, b_j, lambda v: v, lambda v: v,
+            1e-10, 500,
+        )
+        x = np.asarray(x, np.float64)
+        assert np.all(np.isfinite(x))
+        # the returned iterate must not have an exploded quadratic model
+        model = 0.5 * x @ (A @ x) - b @ x
+        assert model <= 1.0, model  # unguarded CG drives this to -inf/NaN
+        assert int(iters) < 500  # terminated early, not by budget
