@@ -267,3 +267,138 @@ def build_band_plan(
         W=int(W),
         n_img_pad=n_img_pad,
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedBandPlan:
+    """Group-partition of a global BandPlan over n_shards devices.
+
+    The global banded stream is cut at GROUP boundaries (each group owns
+    M tie ranks, so per-shard tie reductions are complete by construction
+    — no boundary exchange needed); each shard's slice is the 128-aligned
+    row window covering its groups, padded to a common slice_len.  Rows
+    inside a shard's window but outside its groups' [first_row, end_row)
+    union (alignment lead-in / tail, i.e. rows owned by a NEIGHBOR shard)
+    are DUPLICATED into the window for DMA alignment but carried with
+    W = 0 so the XLA-side per-row sums (costs, residual stats) never
+    double count; the kernel masks them via fr/er regardless.
+
+    All leading-axis-(n_shards) arrays shard on the mesh axis; the
+    remaining fields are replicated / static.
+    """
+
+    # per-shard expanded stream: original obs row of each slot (-1 = dead)
+    shard_rows: np.ndarray  # (n_shards, slice_len) int64
+    owned: np.ndarray  # (n_shards, slice_len) bool — owned live rows
+    # per-shard group geometry, LOCAL row offsets
+    sb: np.ndarray  # (n_shards, G_loc) int32  row_start // 128 (local)
+    fr: np.ndarray  # (n_shards, G_loc) int32
+    er: np.ndarray  # (n_shards, G_loc) int32
+    ib: np.ndarray  # (n_shards, G_loc) int32  img_base // 128 (global)
+    rel: np.ndarray  # (n_shards, slice_len) f32
+    imgrow: np.ndarray  # (n_shards, slice_len) f32
+    # global maps (replicated)
+    rank_of_slot: np.ndarray
+    slot_of_rank: np.ndarray
+    imgrank_of_img: np.ndarray
+    img_of_imgrank: np.ndarray
+    # owned copy of each original observation row in the CONCATENATED
+    # (n_shards * slice_len) expanded stream (report-order recovery)
+    owned_pos: np.ndarray  # (n_obs,) int64
+    n_shards: int
+    G_loc: int
+    slice_len: int
+    M: int
+    T: int
+    W: int
+    n_tie: int
+    n_img: int
+    n_img_pad: int
+    n_obs: int
+
+    @property
+    def rank_pad(self) -> int:
+        """Global padded rank-axis length = n_shards * G_loc * M."""
+        return self.n_shards * self.G_loc * self.M
+
+
+def split_band_plan(plan: BandPlan, n_shards: int) -> ShardedBandPlan:
+    """Partition `plan`'s groups across n_shards (see ShardedBandPlan)."""
+    G = plan.G
+    M, T = plan.M, plan.T
+    G_loc = -(-G // n_shards)
+    G_pad = G_loc * n_shards
+    # pad with empty groups anchored at the stream end (fr == er -> no
+    # live lanes; sb positioned so the slice window stays tight)
+    end_anchor = int(plan.end_row[-1]) if G else 0
+    anchor_start = _align_down(end_anchor, 128)
+    row_start = np.concatenate(
+        [plan.row_start, np.full(G_pad - G, anchor_start, np.int64)])
+    first_row = np.concatenate(
+        [plan.first_row, np.full(G_pad - G, end_anchor, np.int64)])
+    end_row = np.concatenate(
+        [plan.end_row, np.full(G_pad - G, end_anchor, np.int64)])
+    img_base = np.concatenate(
+        [plan.img_base, np.zeros(G_pad - G, np.int64)])
+
+    bases = np.empty(n_shards, np.int64)
+    ends = np.empty(n_shards, np.int64)
+    for d in range(n_shards):
+        gs = slice(d * G_loc, (d + 1) * G_loc)
+        bases[d] = int(row_start[gs].min())
+        ends[d] = int((row_start[gs] + T).max())
+    slice_len = int(_align_up(int((ends - bases).max()), 128))
+
+    # global padded per-row tables (extend past n_pad if windows overrun)
+    need = int((bases + slice_len).max())
+    rel_g = plan.rel
+    img_g = plan.imgrow
+    if need > rel_g.shape[0]:
+        extra = need - rel_g.shape[0]
+        rel_g = np.concatenate([rel_g, np.full(extra, -1.0, np.float32)])
+        img_g = np.concatenate([img_g, np.full(extra, -1.0, np.float32)])
+
+    shard_rows = np.full((n_shards, slice_len), -1, np.int64)
+    owned = np.zeros((n_shards, slice_len), bool)
+    sb = np.zeros((n_shards, G_loc), np.int32)
+    fr = np.zeros((n_shards, G_loc), np.int32)
+    er = np.zeros((n_shards, G_loc), np.int32)
+    ib = np.zeros((n_shards, G_loc), np.int32)
+    rel = np.full((n_shards, slice_len), -1.0, np.float32)
+    imgrow = np.full((n_shards, slice_len), -1.0, np.float32)
+    owned_pos = np.full(plan.n_obs, -1, np.int64)
+
+    n_stream = plan.order.shape[0]  # live+control rows in stream order
+    for d in range(n_shards):
+        base = int(bases[d])
+        gs = slice(d * G_loc, (d + 1) * G_loc)
+        sb[d] = ((row_start[gs] - base) // 128).astype(np.int32)
+        fr[d] = (first_row[gs] - base).astype(np.int32)
+        er[d] = (end_row[gs] - base).astype(np.int32)
+        ib[d] = (img_base[gs] // 128).astype(np.int32)
+        hi = min(base + slice_len, rel_g.shape[0])
+        rel[d, : hi - base] = rel_g[base:hi]
+        imgrow[d, : hi - base] = img_g[base:hi]
+        hi_rows = min(base + slice_len, n_stream)
+        if hi_rows > base:
+            shard_rows[d, : hi_rows - base] = plan.order[base:hi_rows]
+        for g in range(d * G_loc, (d + 1) * G_loc):
+            a, b = int(first_row[g]), int(end_row[g])
+            if b > a:
+                owned[d, a - base : b - base] = True
+                rows = plan.order[a:b]
+                owned_pos[rows] = d * slice_len + np.arange(a - base,
+                                                           b - base)
+    assert (owned_pos >= 0).all(), "every observation needs an owned copy"
+
+    return ShardedBandPlan(
+        shard_rows=shard_rows, owned=owned, sb=sb, fr=fr, er=er, ib=ib,
+        rel=rel, imgrow=imgrow,
+        rank_of_slot=plan.rank_of_slot, slot_of_rank=plan.slot_of_rank,
+        imgrank_of_img=plan.imgrank_of_img,
+        img_of_imgrank=plan.img_of_imgrank,
+        owned_pos=owned_pos,
+        n_shards=n_shards, G_loc=G_loc, slice_len=slice_len,
+        M=M, T=T, W=plan.W, n_tie=plan.n_tie, n_img=plan.n_img,
+        n_img_pad=plan.n_img_pad, n_obs=plan.n_obs,
+    )
