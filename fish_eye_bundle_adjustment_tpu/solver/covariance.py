@@ -128,8 +128,12 @@ def _schur_covariance_impl(problem, layout, x, sigma02, pair_chunk):
     N = obs.n
 
     # ---- Hcc blocks (no Schur correction) ------------------------------
+    # NB: fac/weights enter as ARGUMENTS — a zero-arg closure embeds the
+    # ~1M-row streams as jaxpr constants and XLA spends minutes
+    # constant-folding them at compile (measured 365 s of the r4 434 s
+    # total: 5 closures x ~73 s compile each)
     @jax.jit
-    def hcc_blocks():
+    def hcc_blocks(fac, obs, wx, wy):
         out = {}
         if ne:
             cols = [
@@ -166,13 +170,13 @@ def _schur_covariance_impl(problem, layout, x, sigma02, pair_chunk):
                 ).reshape(n_cam, ni, ni)
         return out
 
-    hcc = {k: np.asarray(v) for k, v in hcc_blocks().items()}
+    hcc = {k: np.asarray(v) for k, v in hcc_blocks(fac, obs, wx, wy).items()}
 
     # ---- per-observation coupling blocks -------------------------------
     # D_o = Je' W Jp (ne,3); E_o = Ji' W Jp (ni,3); folded G_o = D_o Hpp^-1
     @jax.jit
-    def coupling():
-        Hg = fac.Hpi_flat[obs.tie].reshape(N, 3, 3)  # zero row for control obs
+    def coupling(fac, wx, wy):  # Hpi/streams via fac (pytree arg)
+        Hg = fac.Hpi_flat[fac.obs.tie].reshape(N, 3, 3)  # zero row for control obs
         Jpw_x = fac.Jpx * wx[:, None]
         Jpw_y = fac.Jpy * wy[:, None]
         out = {}
@@ -189,7 +193,7 @@ def _schur_covariance_impl(problem, layout, x, sigma02, pair_chunk):
         out["Hg"] = Hg
         return out
 
-    cp = coupling()
+    cp = coupling(fac, wx, wy)
     Hpi = np.asarray(fac.Hpi_flat)[:nt].reshape(nt, 3, 3)
 
     # per-(tie, cam) IOP aggregates: Esum (nt, n_cam, ni, 3)
@@ -222,74 +226,60 @@ def _schur_covariance_impl(problem, layout, x, sigma02, pair_chunk):
         for c in range(n_cam):
             S[io + c * ni : io + (c + 1) * ni, io + c * ni : io + (c + 1) * ni] = ii[c]
 
-    # Schur corrections
-    if nt and ni:
-        # ii: sum_t Esum_c1 Hpp^-1 Esum_c2'
-        corr_ii = np.einsum("tciq,tdjq->cidj", EHsum, Esum)
-        for c1 in range(n_cam):
-            for c2 in range(n_cam):
-                S[io + c1 * ni : io + (c1 + 1) * ni,
-                  io + c2 * ni : io + (c2 + 1) * ni] -= corr_ii[c1, :, c2, :]
-    if nt and ne and ni:
-        # ei: per-obs D_o Hpp^-1 Esum_{t(o), c}' = G_o @ Esum' summed into
-        # (img, cam) — G_o already carries the Hpp^-1 fold
-        key = jnp.asarray(
-            np.minimum(tie_np, nt).astype(np.int64) * n_cam + cam_np
-        )
-        Es_obs = jnp.concatenate(
-            [jnp.asarray(Esum.reshape(nt * n_cam, ni * 3)),
-             jnp.zeros((n_cam, ni * 3))], 0  # dummy rows for control obs
-        )
-
-        @jax.jit
-        def ei_corr():
-            Esg = Es_obs[key].reshape(N, ni, 3)
-            g = jnp.einsum("neq,niq->nei", cp["G"], Esg)
-            return obs.plan.secondary_sum(g.reshape(N, ne * ni))
-
-        corr_ei = np.asarray(ei_corr()).reshape(n_img, ne, ni)
-        for i in range(n_img):
-            c = int(problem.img_cam[i])
-            blk = corr_ei[i]
-            S[i * ne : (i + 1) * ne, io + c * ni : io + (c + 1) * ni] -= blk
-            S[io + c * ni : io + (c + 1) * ni, i * ne : (i + 1) * ne] -= blk.T
-    pa = pb = pair_seg = None
-    if nt and ne:
-        # ee: pair sum over observations sharing a point
-        pa, pb, pair_seg = _pair_lists(tie_np, nt)
-        P = pa.shape[0]
-        # fold Hpp^-1 once per obs via its Cholesky: Hpp^-1 = R R'
-        R = np.linalg.cholesky(Hpi)  # (nt, 3, 3) lower
-        Rg = np.zeros((N, 3, 3))
+    # ---- Schur correction U = G_hat' G_hat as chunked dense BLAS GEMMs --
+    # r4 enumerated observation PAIRS (5.1M gathers + a (P, 36) scatter
+    # per chunk, 434 s at 500 images and a 65 GB broadcast OOM on-chip).
+    # But the correction Hcp Hpp^-1 Hpc factorizes per tie:
+    #     U[(i,e),(j,f)] = sum_t  Ghat_t' Ghat_t,
+    #     Ghat[(t,p), (i,e)] = sum_{o: tie=t, img=i} (D_o R_t)[e, p]
+    # with Hpp^-1 = R R' (Cholesky), extended with the folded IOP columns
+    # (Esum R) — ONE (3*chunk, nc) dense scatter per tie chunk (each
+    # observation hits exactly one cell) followed by a BLAS syrk/gemm.
+    # Covers the ee, ei, AND ii corrections in one product; ~nc^2*3*nt
+    # FLOPs = dense-linear-algebra rates instead of per-pair gathers.
+    tie_chunk = max(1, min(nt, 16384)) if nt else 1
+    # contiguous row ranges per chunk (the stream is tie-sorted)
+    starts = np.searchsorted(tie_np, np.arange(0, nt + 1)) if nt else None
+    R = np.linalg.cholesky(Hpi) if nt else None  # (nt, 3, 3) lower
+    D_np = np.asarray(cp["D"]) if ne else None
+    if nt:
         live = tie_np < nt
+        Rg = np.zeros((N, 3, 3))
         Rg[live] = R[tie_np[live]]
-        M = np.asarray(
-            jnp.einsum("nep,npq->neq", cp["D"], jnp.asarray(Rg))
-        )  # (N, ne, 3);  D_a Hpp^-1 D_b' = M_a M_b'
-        M = np.concatenate([M, np.zeros((1, ne, 3))], 0)  # padding row
-        bid_np = img_np[pa].astype(np.int64) * n_img + img_np[pb]
-
-        Sflat = jnp.zeros((n_img * n_img, ne * ne))
-        M_dev = jnp.asarray(M)
-        n_chunks = (P + pair_chunk - 1) // pair_chunk
-
-        @jax.jit
-        def pair_scatter(Sflat, ia, ib, bid):
-            prod = jnp.einsum("peq,pfq->pef", M_dev[ia], M_dev[ib])
-            return Sflat.at[bid].add(prod.reshape(-1, ne * ne))
-
-        for c in range(n_chunks):
-            sl = slice(c * pair_chunk, min((c + 1) * pair_chunk, P))
-            m = sl.stop - sl.start
-            pad = pair_chunk - m
-            ia = np.concatenate([pa[sl], np.full(pad, N)]).astype(np.int32)
-            ib = np.concatenate([pb[sl], np.full(pad, N)]).astype(np.int32)
-            bid = np.concatenate([bid_np[sl], np.zeros(pad)]).astype(np.int32)
-            Sflat = pair_scatter(Sflat, jnp.asarray(ia), jnp.asarray(ib),
-                                 jnp.asarray(bid))
-        See_corr = np.asarray(Sflat).reshape(n_img, n_img, ne, ne)
-        ee_view = S[: n_img * ne, : n_img * ne].reshape(n_img, ne, n_img, ne)
-        ee_view -= See_corr.transpose(0, 2, 1, 3)
+        M = (
+            np.einsum("nep,npq->neq", D_np, Rg) if ne
+            else np.zeros((N, 0, 3))
+        )  # (N, ne, 3): D_a Hpp^-1 D_b' = M_a M_b'
+        EsumR = (
+            np.einsum("tcip,tpq->tciq", Esum, R) if ni
+            else None
+        )
+        U = np.zeros((nc, nc))
+        ar_e = np.arange(ne)
+        for t0 in range(0, nt, tie_chunk):
+            t1 = min(t0 + tie_chunk, nt)
+            c = t1 - t0
+            r0, r1 = int(starts[t0]), int(starts[t1])
+            Gh = np.zeros((3 * c, nc))
+            if ne and r1 > r0:
+                rows = (3 * (tie_np[r0:r1] - t0))[:, None, None] + np.arange(3)[None, None, :]
+                colsx = (img_np[r0:r1, None, None] * ne + ar_e[None, :, None])
+                np.add.at(
+                    Gh,
+                    (rows * np.ones((1, ne, 1), np.int64),
+                     colsx * np.ones((1, 1, 3), np.int64)),
+                    M[r0:r1],
+                )
+            if ni:
+                # folded IOP columns: Gh[3(t-t0)+q, io + c*ni + i]
+                blockv = EsumR[t0:t1]  # (c, n_cam, ni, 3)
+                for cam_i in range(n_cam):
+                    view = Gh[:, io + cam_i * ni : io + (cam_i + 1) * ni]
+                    view.reshape(c, 3, ni)[...] += blockv[:, cam_i].transpose(
+                        0, 2, 1
+                    )
+            U += Gh.T @ Gh
+        S -= U
 
     # ---- invert (host, f64) ---------------------------------------------
     if use_ic:
@@ -304,64 +294,37 @@ def _schur_covariance_impl(problem, layout, x, sigma02, pair_chunk):
     var_q = np.zeros(layout.u)
     var_q[:nc] = np.diag(Cc)
     if nt:
+        # pvar_t = diag3(Hpp^-1 + K_t' Cc K_t) with K_t the full camera-
+        # to-point coupling (pose columns G_o = D_o Hpp^-1, IOP columns
+        # EHsum) — ONE quadratic form replaces r4's three pair passes
+        # (pose-pair term via Cee, 2x cross term via Cei, IOP term via
+        # Cii).  Same chunked scatter-then-GEMM shape as U above.
         pvar = np.einsum("tpp->tp", Hpi).copy()  # (nt, 3) base Hpp^-1 diag
-        if ne:
-            # pair term: sum_{a,b in t} diag3(G_a' Cee[ia,ib] G_b)
-            Cee = jnp.asarray(
-                Cc[: n_img * ne, : n_img * ne]
-                .reshape(n_img, ne, n_img, ne)
-                .transpose(0, 2, 1, 3)
-                .reshape(n_img * n_img, ne * ne)
-            )
-            G_np = np.concatenate(
-                [np.asarray(cp["G"]), np.zeros((1, ne, 3))], 0
-            )
-            G_dev = jnp.asarray(G_np)
-            P = pa.shape[0]
-            acc = jnp.zeros((nt + 1, 3))
-            n_chunks = (P + pair_chunk - 1) // pair_chunk
-            bid_np = img_np[pa].astype(np.int64) * n_img + img_np[pb]
-
-            @jax.jit
-            def pair_pointvar(acc, ia, ib, bid, seg):
-                C_ab = Cee[bid].reshape(-1, ne, ne)
-                t1 = jnp.einsum("pef,pfq->peq", C_ab, G_dev[ib])
-                contr = jnp.einsum("peq,peq->pq", G_dev[ia], t1)  # (P, 3)
-                return acc.at[seg].add(contr)
-
-            for c in range(n_chunks):
-                sl = slice(c * pair_chunk, min((c + 1) * pair_chunk, P))
-                m = sl.stop - sl.start
-                pad = pair_chunk - m
-                ia = np.concatenate([pa[sl], np.full(pad, N)]).astype(np.int32)
-                ib = np.concatenate([pb[sl], np.full(pad, N)]).astype(np.int32)
-                bid = np.concatenate([bid_np[sl], np.zeros(pad)]).astype(np.int32)
-                seg = np.concatenate([pair_seg[sl], np.full(pad, nt)]).astype(np.int32)
-                acc = pair_pointvar(acc, jnp.asarray(ia), jnp.asarray(ib),
-                                    jnp.asarray(bid), jnp.asarray(seg))
-            pvar += np.asarray(acc)[:nt]
-        if ni:
-            # cross term 2 * diag3(A_t EHsum_t) with
-            # A_t = sum_{a in t} G_a' Cei[img_a, :, cam] and the pure-IOP
-            # term EHsum' Cii EHsum
-            Cei = Cc[: n_img * ne, io:].reshape(n_img, ne, n_cam * ni)
-            Cii = Cc[io:, io:]
-            if ne:
-                Cei_dev = jnp.asarray(Cei)
-                img_dev = jnp.asarray(img_np)
-
-                @jax.jit
-                def a_term():
-                    Ce_o = Cei_dev[img_dev]  # (N, ne, n_cam*ni)
-                    g = jnp.einsum("neq,nek->nqk", cp["G"], Ce_o)
-                    return obs.plan.primary_sum(g.reshape(N, 3 * n_cam * ni))
-
-                A = np.asarray(a_term())[:nt].reshape(nt, 3, n_cam, ni)
-                pvar += 2.0 * np.einsum("tqci,tciq->tq", A, EHsum)
-            CiiR = Cii.reshape(n_cam, ni, n_cam, ni)
-            pvar += np.einsum(
-                "tciq,cidj,tdjq->tq", EHsum, CiiR, EHsum
-            )
+        G_np = np.asarray(cp["G"]) if ne else None
+        ar_e = np.arange(ne)
+        for t0 in range(0, nt, tie_chunk):
+            t1 = min(t0 + tie_chunk, nt)
+            c = t1 - t0
+            r0, r1 = int(starts[t0]), int(starts[t1])
+            Kh = np.zeros((3 * c, nc))
+            if ne and r1 > r0:
+                rows = (3 * (tie_np[r0:r1] - t0))[:, None, None] + np.arange(3)[None, None, :]
+                colsx = (img_np[r0:r1, None, None] * ne + ar_e[None, :, None])
+                np.add.at(
+                    Kh,
+                    (rows * np.ones((1, ne, 1), np.int64),
+                     colsx * np.ones((1, 1, 3), np.int64)),
+                    G_np[r0:r1],
+                )
+            if ni:
+                blockv = EHsum[t0:t1]  # (c, n_cam, ni, 3)
+                for cam_i in range(n_cam):
+                    view = Kh[:, io + cam_i * ni : io + (cam_i + 1) * ni]
+                    view.reshape(c, 3, ni)[...] += blockv[:, cam_i].transpose(
+                        0, 2, 1
+                    )
+            T = Kh @ Cc  # (3c, nc) BLAS
+            pvar[t0:t1] += np.einsum("rn,rn->r", Kh, T).reshape(c, 3)
         var_q[layout.tie_offset :] = pvar.reshape(-1)
 
     var_x = var_q / layout.scale**2 * sigma02
