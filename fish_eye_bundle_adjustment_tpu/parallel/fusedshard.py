@@ -413,17 +413,8 @@ def make_fused_sharded_step(problem: BAProblem, mesh,
         cost_old = jax.lax.psum(
             _stable_sum(wx * rxm**2 + wy * rym**2), AX)
         x_trial = x + delta_x
-        if adaptive:
-            # residual-only cost at the trial point over owned rows
-            krn = SchurKernel(
-                layout, opts,
-                reduce_fn=lambda v: jax.lax.psum(v, AX),
-                obs_order="tie",
-            )
-            cost_new = krn.residual_cost(x_trial * scale, obs_view)
-        else:
-            cost_new = cost_old
-        stats = jnp.stack([vPv, sum_vx2, sum_vy2, cost_old, cost_new])
+        # trial validated DEFERRED against the next step's cost_old
+        stats = jnp.stack([vPv, sum_vx2, sum_vy2, cost_old])
         v_local = jnp.stack([vx, vy], axis=1)
         return x_trial, jnp.sum(jnp.abs(delta_x)), v_local, stats, cg_iters
 

@@ -405,11 +405,8 @@ def make_sharded_camera_step(problem: BAProblem, mesh,
             _stable_sum(wx * rxm**2 + wy * rym**2), AX
         )
         x_trial = x + delta_x
-        cost_new = (
-            kernel.residual_cost(x_trial * scale, obs_l) if adaptive
-            else cost_old
-        )
-        stats = jnp.stack([vPv, sum_vx2, sum_vy2, cost_old, cost_new])
+        # trial validated DEFERRED against the next step's cost_old
+        stats = jnp.stack([vPv, sum_vx2, sum_vy2, cost_old])
         v_local = jnp.stack([vx, vy], axis=1)
         return x_trial, jnp.sum(jnp.abs(delta_x)), v_local, stats, cg_iters
 

@@ -444,13 +444,18 @@ def estimate_schur_stds(
     nc, nt = kernel.nc, kernel.n_tie
     project_builder = make_projection_builder(layout, nc, use_ic)
 
-    def solve_probe(q, obs, ec, ep):
+    def solve_probe(q, obs, ec, ep, V):
         """One probe through N^-1.  Returns the CONTROL-VARIATE-REDUCED
         pair (zc - M ec, zp - Hpp^-1 ep); with ep = 0 the first entry
         samples the camera block, with ec = 0 the second samples the
         point-block correction K' Cc K ep (y0 = Hpp^-1 ep cancels).
         `ep` arrives/leaves in layout slot order; internals run in the
-        solver's tie id space (rank under the banded plan)."""
+        solver's tie id space (rank under the banded plan).
+
+        `V` (nc, k) is the DEFLATION basis: the CG right-hand side is
+        projected onto its orthogonal complement, so the probe samples
+        Cc (I - VV') — the globally-correlated subspace handled exactly
+        elsewhere (pass zeros to sample the full operator)."""
         fac = kernel.linearize(q, obs)
         project = project_builder(q)
         precond = fac.make_preconditioner()[0]
@@ -462,6 +467,7 @@ def estimate_schur_stds(
             rhs = ec - fac._cam_applyT(wx * px, wy * py)
         else:
             rhs = ec
+        rhs = rhs - V @ (V.T @ rhs)
         zc, _, _ = _pcg(
             fac.schur_matvec, rhs, precond, project, cg_tol, cg_maxiter
         )
@@ -473,6 +479,17 @@ def estimate_schur_stds(
         else:
             zp_corr = jnp.zeros((0, 3), zc.dtype)
         return zc - precond(ec), zp_corr
+
+    def bt_apply(q, obs, v):
+        """B' v with B = the camera->point coupling (K' v in the module
+        notation): the exact deflated part of the point correction."""
+        fac = kernel.linearize(q, obs)
+        wx, wy = fac._w
+        if not nt:
+            return jnp.zeros((0, 3), v.dtype)
+        ax, ay = fac._cam_apply(v)
+        t = fac._point_applyT(wx * ax, wy * ay)
+        return fac.tie_to_layout_order(-fac._hpp_inv_apply(t))
 
     def precond_apply(q, obs, v):
         fac = kernel.linearize(q, obs)
@@ -486,6 +503,7 @@ def estimate_schur_stds(
 
     if mesh is None:
         jitted = jax.jit(solve_probe)
+        btap = jax.jit(bt_apply)
         papply = jax.jit(precond_apply)
         hdiag = jax.jit(hpp_inv_diag)
     else:
@@ -495,8 +513,12 @@ def estimate_schur_stds(
 
         spec = obs.pspec(OBS_AXIS)
         jitted = jax.jit(shard_map(
-            solve_probe, mesh=mesh, in_specs=(P(), spec, P(), P()),
+            solve_probe, mesh=mesh, in_specs=(P(), spec, P(), P(), P()),
             out_specs=(P(), P()), check_vma=False,
+        ))
+        btap = jax.jit(shard_map(
+            bt_apply, mesh=mesh, in_specs=(P(), spec, P()),
+            out_specs=P(), check_vma=False,
         ))
         papply = jax.jit(shard_map(
             precond_apply, mesh=mesh, in_specs=(P(), spec, P()),
@@ -523,28 +545,84 @@ def estimate_schur_stds(
         diagM += np.asarray(pat, np.float64) * out
 
     rng = np.random.default_rng(seed)
-    n_cam_probes = n_probe - n_probe // 2 if nt else n_probe
-    n_pt_probes = n_probe - n_cam_probes
     zero_c = jnp.zeros(nc, dtype)
     zero_p = jnp.zeros((nt, 3), dtype)
     d = np.sqrt(np.maximum(diagM, 1e-300))  # importance scale (see docstring)
+
+    # ---- DEFLATION of the globally-correlated subspace -----------------
+    # The Monte-Carlo error is set by the covariance correlations between
+    # simultaneously-probed entries, and in a bundle block with a weak
+    # datum those are GLOBAL: the near-gauge modes (block translation/
+    # rotation/scale against a handful of control points) give S^-1 a
+    # dominant low-rank part with |rho| ~ 1 across the whole block, which
+    # no sampling budget averages away (measured: q90 rel err 25-43% at
+    # 64 probes; spatial-coloring probes fail for the same reason).
+    # Remedy: build V ~ the dominant k-dim eigenspace of S^-1 by inverse
+    # subspace iteration (each application = one CG solve), then use the
+    # EXACT identity  Cc = Cc V V' + Cc (I - VV'):
+    #     diag(Cc V V') = sum_k (Cc V)[:,k] * V[:,k]   (exact, from CV)
+    # and sample only the deflated remainder, whose correlations are the
+    # small local ones.  The point correction B' Cc B splits the same
+    # way with B'V / B'(Cc V) computed exactly.
+    k_defl = int(min(16, max(nc // 4, 0)))
+    subspace_iters = 2
+    diag_defl_c = np.zeros(nc)
+    diag_defl_p = np.zeros((nt, 3))
+    V_np = np.zeros((nc, max(k_defl, 1)))
+    V_zero = jnp.zeros((nc, max(k_defl, 1)), dtype)
+
+    def cc_apply(v_np, V_arg):
+        """Cc (I - V V') v via one CG solve (+ M v control variate undo)."""
+        v_j = jnp.asarray(v_np.astype(dtype))
+        zc, _ = jitted(q, obs, v_j, zero_p, V_arg)
+        return np.asarray(zc, np.float64) + np.asarray(
+            papply(q, obs, v_j), np.float64
+        )
+
+    if k_defl >= 2:
+        V_np, _ = np.linalg.qr(rng.normal(size=(nc, k_defl)))
+        for _ in range(subspace_iters):
+            Z = np.stack(
+                [cc_apply(V_np[:, j], V_zero) for j in range(k_defl)], 1
+            )
+            V_np, _ = np.linalg.qr(Z)
+        CV = np.stack(
+            [cc_apply(V_np[:, j], V_zero) for j in range(k_defl)], 1
+        )
+        diag_defl_c = np.einsum("ik,ik->i", CV, V_np)
+        if nt:
+            BtV = np.stack(
+                [np.asarray(btap(q, obs, jnp.asarray(
+                    V_np[:, j].astype(dtype))), np.float64)
+                 for j in range(k_defl)], 2,
+            )  # (nt, 3, k)
+            BtCV = np.stack(
+                [np.asarray(btap(q, obs, jnp.asarray(
+                    CV[:, j].astype(dtype))), np.float64)
+                 for j in range(k_defl)], 2,
+            )
+            diag_defl_p = np.einsum("tpk,tpk->tp", BtV, BtCV)
+    V_dev = jnp.asarray(V_np.astype(dtype))
+
+    n_cam_probes = n_probe - n_probe // 2 if nt else n_probe
+    n_pt_probes = n_probe - n_cam_probes
     acc_c = np.zeros(nc)
     for _ in range(n_cam_probes):
         e = (rng.integers(0, 2, nc) * 2 - 1).astype(np.float64)
         w = (e / d).astype(dtype)
-        zc, _ = jitted(q, obs, jnp.asarray(w), zero_p)
+        zc, _ = jitted(q, obs, jnp.asarray(w), zero_p, V_dev)
         acc_c += d * e * np.asarray(zc, np.float64)
     acc_p = np.zeros((nt, 3))
     for _ in range(n_pt_probes):
         e = (rng.integers(0, 2, (nt, 3)) * 2 - 1).astype(dtype)
-        _, zp_corr = jitted(q, obs, zero_c, jnp.asarray(e))
+        _, zp_corr = jitted(q, obs, zero_c, jnp.asarray(e), V_dev)
         acc_p += e.astype(np.float64) * np.asarray(zp_corr, np.float64)
     var_q = np.zeros(layout.u)
-    var_q[:nc] = acc_c / max(n_cam_probes, 1) + diagM
+    var_q[:nc] = acc_c / max(n_cam_probes, 1) + diag_defl_c + diagM
     if nt:
         base_p = np.asarray(hdiag(q, obs), np.float64)
         var_q[layout.tie_offset:] = (
-            acc_p / max(n_pt_probes, 1) + base_p
+            acc_p / max(n_pt_probes, 1) + diag_defl_p + base_p
         ).reshape(-1)
     var_x = var_q / layout.scale**2 * sigma02
     return np.sqrt(np.maximum(var_x, 0.0))

@@ -1212,11 +1212,12 @@ def schur_step_fn(kernel: SchurKernel, layout: ParamLayout, use_ic: bool,
         sum_vx2 = kernel.reduce(jnp.sum(vx * vx))
         sum_vy2 = kernel.reduce(jnp.sum(vy * vy))
         x_trial = x + delta_x
-        cost_new = (
-            kernel.residual_cost(x_trial * scale, obs) if adaptive
-            else cost_old
-        )
-        stats = jnp.stack([vPv, sum_vx2, sum_vy2, cost_old, cost_new])
+        # NO trial-point cost here: the LM controller validates a trial
+        # DEFERRED, against the NEXT step's cost_old (the linearization at
+        # the trial point computes the true residuals anyway) — the extra
+        # residual-only pass this step carried in early r5 cost ~7 ms of
+        # a ~60 ms step for information the next step produces for free.
+        stats = jnp.stack([vPv, sum_vx2, sum_vy2, cost_old])
         v_local = jnp.stack([vx, vy], axis=1)
         return x_trial, jnp.sum(jnp.abs(delta_x)), v_local, stats, cg_iters
 
@@ -1297,43 +1298,22 @@ def run_gn_loop(step, obs, layout, problem, opts: SchurOptions,
     # differences with no statistical meaning (and breaks step-for-step
     # parity with the dense path, whose costs round differently)
     slack_rel = float(np.finfo(np.dtype(opts.dtype)).eps) ** (2.0 / 3.0)
-    rejects = 0
-    while True:
-        x_trial, deltasum, v_trial, stats_t, _ = step(
-            x, obs, jnp.asarray(cg_tol, opts.dtype),
-            jnp.asarray(lam, opts.dtype),
-        )
-        deltasum = float(deltasum)
-        if adaptive:
-            s = np.asarray(stats_t, dtype=np.float64)
-            model_new, cost_old, cost_new = s[0], s[3], s[4]
-            actual = cost_old - cost_new
-            pred = cost_old - model_new
-            slack = slack_rel * max(cost_old, 1.0)
-            finite = np.isfinite(cost_new) and np.isfinite(deltasum)
-            tiny = finite and deltasum <= settings.threshold
-            accept = tiny or (finite and actual >= -slack)
-            if not accept:
-                rejects += 1
-                lam = max(lam * nu, opts.damping_kick)
-                nu = min(nu * 2.0, 64.0)
-                if lam > opts.max_damping:
-                    raise SolverDivergence(count + 1, deltasum, delta_history)
-                if progress_fn is not None:
-                    progress_fn(IterationRecord(
-                        count, deltasum, watch.lap(), cg_tol, accepted=False,
-                        damping=lam,
-                    ))
-                continue
-            # Nielsen's accepted-step schedule; rho from noisy sums is
-            # clamped into [0, 1] territory before shaping lambda
-            rho = actual / pred if pred > slack else 1.0
-            lam = lam * max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-            if lam < 1e-14:
-                lam = 0.0
-            nu = 2.0
+
+    # DEFERRED trust-region control: a trial step's true cost is read off
+    # the NEXT step's linearization (its cost_old), so the steady state
+    # pays ZERO extra passes; only a rejection (rare: the converged 5k/10k
+    # runs have none) pays the wasted step from the bad trial point.
+    # `pend` holds the yet-unvalidated trial:
+    #   (x_prev, cost_prev, model, deltasum, v, stats, lam_used)
+    pend = None
+
+    def accept_pending():
+        """Bookkeeping when the pending trial becomes an accepted iterate."""
+        nonlocal count, x, v_local, stats, delta0, cg_tol, converged
+        nonlocal stopped_on
         count += 1
-        x, v_local, stats = x_trial, v_trial, stats_t
+        deltasum = pend["delta"]
+        x, v_local, stats = pend["x_new"], pend["v"], pend["stats"]
         delta_history.append(deltasum)
         if not adaptive:
             check_divergence(count, deltasum, delta_history)
@@ -1359,16 +1339,12 @@ def run_gn_loop(step, obs, layout, problem, opts: SchurOptions,
             history.append(np.asarray(x))
         # Convergence on the reference's L1-of-correction contract
         # (main.m:412) — but under ACTIVE damping a tiny step only means
-        # lambda is large, not that the gradient vanished (measured: a 5k
-        # block "converged" in 2 iterations at lambda=1.4e5 with
-        # sigma0^2=1.32).  Require the damping to have decayed back to
-        # ~pure GN first; at a true optimum every step is accepted and
-        # lambda falls by >=3x per iteration, so this costs only a few
-        # cheap extra iterations.
+        # lambda is large, not that the gradient vanished; require the
+        # damping decayed back to ~pure GN first.
         if deltasum <= settings.threshold and (not adaptive or lam <= 1e-3):
             converged = True
             stopped_on = "threshold"
-            break
+            return True
         if (
             opts.plateau_detection
             and len(delta_history) >= 10
@@ -1383,10 +1359,63 @@ def run_gn_loop(step, obs, layout, problem, opts: SchurOptions,
             if flat and not improving:
                 converged = True
                 stopped_on = "plateau"
-                break
+                return True
         if count >= settings.iteration_cap:
             stopped_on = "cap"
-            break
+            return True
+        return False
+
+    while True:
+        x_in = pend["x_new"] if pend is not None else x
+        x_trial, deltasum, v_trial, stats_t, _ = step(
+            x_in, obs, jnp.asarray(cg_tol, opts.dtype),
+            jnp.asarray(lam, opts.dtype),
+        )
+        deltasum = float(deltasum)
+        s = np.asarray(stats_t, dtype=np.float64)
+        cost_here = s[3]  # TRUE weighted SSR at x_in
+        if pend is not None and adaptive:
+            # validate the pending trial against the cost its point shows
+            actual = pend["cost_prev"] - cost_here
+            pred = pend["cost_prev"] - pend["model"]
+            slack = slack_rel * max(pend["cost_prev"], 1.0)
+            finite = np.isfinite(cost_here) and np.isfinite(pend["delta"])
+            tiny = finite and pend["delta"] <= settings.threshold
+            accept = tiny or (finite and actual >= -slack)
+            if not accept:
+                lam = max(lam * nu, opts.damping_kick)
+                nu = min(nu * 2.0, 64.0)
+                if lam > opts.max_damping:
+                    raise SolverDivergence(
+                        count + 1, pend["delta"], delta_history)
+                if progress_fn is not None:
+                    progress_fn(IterationRecord(
+                        count, pend["delta"], watch.lap(), cg_tol,
+                        accepted=False, damping=lam,
+                    ))
+                pend = None  # roll back; current outputs are from the bad
+                continue  # trial point and are discarded with it
+            rho = actual / pred if pred > slack else 1.0
+            lam = lam * max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+            if lam < 1e-14:
+                lam = 0.0
+            nu = 2.0
+        if pend is not None:
+            if accept_pending():
+                break
+        pend = {
+            "x_new": x_trial, "cost_prev": cost_here, "model": s[0],
+            "delta": deltasum, "v": v_trial, "stats": stats_t,
+        }
+        # a tiny trial needs no validation (at the fixed point damped and
+        # undamped corrections coincide) — and neither does a pure-GN
+        # trial when adaptivity is off
+        if not adaptive or (
+            np.isfinite(deltasum) and deltasum <= settings.threshold
+        ):
+            if accept_pending():
+                break
+            pend = None
     elapsed = time.perf_counter() - t0
     return (x, history, delta_history, v_local, stats, count, converged,
             elapsed, stopped_on)
