@@ -100,10 +100,27 @@ def _solve(problem, solver: str, checkpoint: Optional[str] = None,
             problem, progress_fn=log_progress, checkpoint_path=checkpoint,
             keep_history=keep_history,
         )
-    if solver in ("distributed", "sharded"):
+    if solver in ("distributed", "sharded", "fused_sharded"):
         from fish_eye_bundle_adjustment_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(devices)
+        if solver == "fused_sharded":
+            # fused banded Pallas kernel under shard_map (f32, one
+            # camera, tie points — parallel/fusedshard.py)
+            import numpy as _np
+
+            from fish_eye_bundle_adjustment_tpu.parallel.fusedshard import (
+                solve_schur_fused_sharded,
+            )
+            from fish_eye_bundle_adjustment_tpu.solver.schur import (
+                SchurOptions,
+            )
+
+            return solve_schur_fused_sharded(
+                problem, mesh, options=SchurOptions(dtype=_np.float32),
+                progress_fn=log_progress, checkpoint_path=checkpoint,
+                keep_history=keep_history, compute_covariance=True,
+            )
         if solver == "distributed":
             from fish_eye_bundle_adjustment_tpu.parallel.dist_schur import (
                 solve_schur_distributed,
@@ -180,11 +197,14 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--cfg", help="fallback .cfg when the dataset folder has none")
     ap.add_argument(
         "--solver",
-        choices=("auto", "dense", "schur", "distributed", "sharded", "posegraph"),
+        choices=("auto", "dense", "schur", "distributed", "sharded",
+                 "fused_sharded", "posegraph"),
         default="auto",
         help="dense parity solver, Schur-complement solver, size-based auto, "
              "or the scale modes: distributed (obs-sharded over a device "
-             "mesh), sharded (obs-sharded + sharded camera state), posegraph "
+             "mesh), sharded (obs-sharded + sharded camera state), "
+             "fused_sharded (the banded Pallas kernel under shard_map; f32 "
+             "single-camera), posegraph "
              "(partition -> block solves -> similarity merge -> refine)",
     )
     ap.add_argument("--devices", type=int,

@@ -45,11 +45,12 @@ def test_estimator_tracks_exact_stds():
     assert np.all(np.isfinite(est)) and np.all(est >= 0)
     live = exact > 0
     rel = np.abs(est[live] - exact[live]) / exact[live]
-    # documented bound: Hutchinson per-entry error ~ sqrt(2/n_probe)
-    # scaled by the off-diagonal mass; the distribution's bulk must land
-    # well inside it while a small tail is expected
-    assert np.median(rel) < 0.25, np.median(rel)
-    assert np.quantile(rel, 0.9) < 0.6, np.quantile(rel, 0.9)
+    # r5 deflated estimator, measured on this block at n_probe=192:
+    # median 0.029, q90 0.094 (the r4 bound was median<0.25/q90<0.6 —
+    # deflating the global near-gauge modes removed the irreducible
+    # long-range correlation noise).  Bounds at ~2x the measured values.
+    assert np.median(rel) < 0.06, np.median(rel)
+    assert np.quantile(rel, 0.9) < 0.15, np.quantile(rel, 0.9)
     # a few entries can clip to zero (Hutchinson variance estimates may
     # come out negative); they must stay rare
     pos = live & (est > 0)
