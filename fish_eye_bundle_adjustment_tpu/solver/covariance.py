@@ -12,18 +12,21 @@ the same quantities from the block factors:
                   Z_t = Hpp_t^-1-folded coupling columns of point t
                   (block back-substitution of the covariance).
 
-Materializing S exploits the bundle structure: S's (i, j) pose block
-couples images i and j through the points they share, so the coupling
-term is a sum over OBSERVATION PAIRS (a, b) that see the same point —
-enumerated statically on the host (each (image, point) pair has one
-observation) and reduced on device in chunks.  Everything runs in
-float64; the dense inverse happens on the host (the TPU backend has no
-f64 LU).
+Materializing S exploits the tie factorization (r5): the coupling term
+Hcp Hpp^-1 Hpc = Ghat' Ghat with Ghat[(t,p),(i,e)] = sum_o (D_o R_t)[e,p]
+(R = chol(Hpp^-1)) — ONE dense scatter per tie chunk followed by BLAS
+GEMMs, covering the ee/ei/ii corrections in a single product; the point
+variances are one quadratic form diag3(Hpp^-1 + K' Cc K) per tie chunk.
+Everything runs in float64 on the host (BLAS rates; the TPU backend has
+no f64 LU) — measured 52.9 s at 500 images vs 434 s for the r4
+pair-enumerated path (of which 365 s was closure-constant XLA compile).
 
-Complexity: pairs = sum_t k_t^2 (~11M at 1M observations), S is
-(6*n_img + n_cam*ni)^2 — gated by ``max_images`` (default 2000 ->
-S_ee = 1.2 GB f64).  Past the gate the solver returns std=None and the
-report writes n/a rather than NaN columns.
+Complexity: GEMM flops ~ nc^2 * 3*n_tie (~n_img^3 at fixed density), S
+is (6*n_img + n_cam*ni)^2 — gated by ``max_images`` (default 2000; the
+measured scaling puts the gate limit at ~30-55 min of host BLAS — past
+~1000 images prefer the deflated estimator below).  Past the gate the
+solver returns std=None and the report writes n/a rather than NaN
+columns.
 """
 
 from __future__ import annotations
@@ -47,33 +50,12 @@ class SchurCovariance:
     #                   pre-sigma02 (for report correlations, like Cx_q)
 
 
-def _pair_lists(tie_sorted: np.ndarray, n_tie: int):
-    """Static (a, b) observation-pair enumeration per tie point.
-
-    `tie_sorted` is the tie id per observation row in tie-sorted order
-    (control/padding rows carry id == n_tie and are excluded)."""
-    n_live = int(np.searchsorted(tie_sorted, n_tie))
-    ids = tie_sorted[:n_live]
-    starts = np.searchsorted(ids, np.arange(n_tie + 1))
-    counts = np.diff(starts)
-    seg_pairs = counts.astype(np.int64) ** 2
-    P = int(seg_pairs.sum())
-    pair_seg = np.repeat(np.arange(n_tie), seg_pairs)
-    offs = np.concatenate([[0], np.cumsum(seg_pairs)])
-    within = np.arange(P) - np.repeat(offs[:-1], seg_pairs)
-    k = counts[pair_seg]
-    pa = (starts[pair_seg] + within // k).astype(np.int64)
-    pb = (starts[pair_seg] + within % k).astype(np.int64)
-    return pa, pb, pair_seg.astype(np.int64)
-
-
 def schur_covariance(
     problem: BAProblem,
     layout: ParamLayout,
     x: np.ndarray,
     sigma02: float,
     max_images: int = 2000,
-    pair_chunk: int = 2_000_000,
 ) -> Optional[SchurCovariance]:
     """Covariance diagonal (stds) + camera-block covariance at solution x.
 
@@ -88,19 +70,17 @@ def schur_covariance(
     if problem.n_img > max_images:
         return None
 
-    # This path is float64 with host-sized chunked pair scatters (module
-    # docstring): pin it to the CPU backend — on a 16 GB chip the pair
-    # chunks OOM (measured r4: a 65 GB broadcast at pair_chunk=2M) and
-    # TPU f64 is emulated anyway.  The Hutchinson estimator below is the
-    # on-chip path.
+    # This path is float64 (metrology-grade inversion) with host BLAS
+    # GEMMs for the Schur corrections: pin it to the CPU backend — TPU
+    # f64 is emulated and the r5 GEMM rewrite made host compute cheap
+    # (52.9 s at 500 images, of which the dense work is BLAS-rate).
+    # The deflated Hutchinson estimator below is the on-chip path.
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        return _schur_covariance_impl(
-            problem, layout, x, sigma02, pair_chunk
-        )
+        return _schur_covariance_impl(problem, layout, x, sigma02)
 
 
-def _schur_covariance_impl(problem, layout, x, sigma02, pair_chunk):
+def _schur_covariance_impl(problem, layout, x, sigma02):
     from fish_eye_bundle_adjustment_tpu.solver.schur import (
         ObsData,
         SchurKernel,
