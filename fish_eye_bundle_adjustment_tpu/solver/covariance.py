@@ -22,9 +22,8 @@ no f64 LU) — measured 52.9 s at 500 images vs 434 s for the r4
 pair-enumerated path (of which 365 s was closure-constant XLA compile).
 
 Complexity: GEMM flops ~ nc^2 * 3*n_tie (~n_img^3 at fixed density), S
-is (6*n_img + n_cam*ni)^2 — gated by ``max_images`` (default 2000; the
-measured scaling puts the gate limit at ~30-55 min of host BLAS — past
-~1000 images prefer the deflated estimator below).  Past the gate the
+is (6*n_img + n_cam*ni)^2 — gated by ``max_images`` (default 1000,
+~6-8 min of host BLAS at the edge; opt in higher explicitly).  Past the gate the
 solver returns std=None and the report writes n/a rather than NaN
 columns.
 """
@@ -55,11 +54,15 @@ def schur_covariance(
     layout: ParamLayout,
     x: np.ndarray,
     sigma02: float,
-    max_images: int = 2000,
+    max_images: int = 1000,
 ) -> Optional[SchurCovariance]:
     """Covariance diagonal (stds) + camera-block covariance at solution x.
 
-    Returns None when n_img exceeds `max_images` (dense S would not fit).
+    Returns None when n_img exceeds `max_images`.  The r5 gate default
+    dropped 2000 -> 1000: cost scales ~n_img^3 (measured 52.9 s at 500
+    images), so the old gate edge meant a surprise ~30-55 min report
+    step; past the gate the deflated estimator (annotated in the report)
+    is the default and `max_images` stays available as an opt-in.
     """
     from fish_eye_bundle_adjustment_tpu.solver.schur import (
         ObsData,
@@ -613,7 +616,7 @@ def compute_stds(
     layout: ParamLayout,
     x: np.ndarray,
     sigma02: float,
-    max_images: int = 2000,
+    max_images: int = 1000,
     n_probe: int = 64,
     mesh=None,
 ):
