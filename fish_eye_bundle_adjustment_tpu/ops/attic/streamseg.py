@@ -200,8 +200,8 @@ def streaming_segment_sum_t(vals_t: jax.Array, plan: GroupedSegPlan,
         num_scalar_prefetch=3,  # row_start/128, first_row, end_row (SMEM)
         grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # vals (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rel row (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # vals (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # rel row (manual DMA)
         ],
         # NB: literal 0 in an index map traces as i64 under jax_enable_x64
         # and Mosaic fails to legalize the mixed i32/i64 return (see
