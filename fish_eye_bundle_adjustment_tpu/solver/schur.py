@@ -339,6 +339,18 @@ class SchurOptions:
     fused_precision_mv: Optional[str] = None
     band_M: int = 128  # tie ranks per group
     band_max_W: int = 2048  # reject plans with wider image bands
+    # Device-resident GN driver (solver/device_loop.py): run device_chunk
+    # outer iterations per host round trip inside one lax.while_loop —
+    # the full deferred-LM accept/reject, forcing, and stopping logic
+    # executes on device, so a solve pays one host sync per chunk instead
+    # of one per GN step (measured ~31 ms per synced dispatch through the
+    # tunneled backend vs a 38 ms device step, bench_stepbreak.py).
+    # None -> auto: on for the standard matrix-free path (pairs is None)
+    # when no trajectory history was requested; progress callbacks still
+    # fire per iteration (replayed per chunk) and checkpoints land on
+    # chunk boundaries.  False -> always the host loop.
+    device_loop: Optional[bool] = None
+    device_chunk: int = 16
 
 
 class SchurKernel:
@@ -1571,15 +1583,32 @@ def solve_schur(
             with_plan=order is not None,
         )
         pairs = make_pair_plan(problem, layout, opts, order)
-    base_step = jax.jit(schur_step_fn(kernel, layout, use_ic, pairs=pairs))
-    step = lambda x, o, tol, lam: base_step(x, o, tol, lam, pairs)
+    raw_step = schur_step_fn(kernel, layout, use_ic, pairs=pairs)
+    use_device_loop = opts.device_loop
+    if use_device_loop is None:
+        use_device_loop = pairs is None and not keep_history
+    if use_device_loop and pairs is None and not keep_history:
+        from fish_eye_bundle_adjustment_tpu.solver.device_loop import (
+            run_gn_loop_device,
+        )
 
-    (x, history, delta_history, v_local, stats, count, converged, elapsed,
-     stopped_on) = run_gn_loop(
-        step, obs, layout, problem, opts,
-        keep_history=keep_history, x0=x0, progress_fn=progress_fn,
-        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
-    )
+        (x, history, delta_history, v_local, stats, count, converged,
+         elapsed, stopped_on) = run_gn_loop_device(
+            raw_step, obs, layout, problem, opts, x0=x0,
+            progress_fn=progress_fn, checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every, chunk=opts.device_chunk,
+        )
+    else:
+        base_step = jax.jit(raw_step)
+        step = lambda x, o, tol, lam: base_step(x, o, tol, lam, pairs)
+
+        (x, history, delta_history, v_local, stats, count, converged,
+         elapsed, stopped_on) = run_gn_loop(
+            step, obs, layout, problem, opts,
+            keep_history=keep_history, x0=x0, progress_fn=progress_fn,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every,
+        )
     v_np = unpermute_v(v_local, order, problem.n_obs)
     result = _finalize(
         problem, layout, x, history, delta_history, v_np, np.asarray(stats),
