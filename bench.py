@@ -219,6 +219,56 @@ def main(argv=None):
         file=sys.stderr,
     )
 
+    # Production loop: the device-resident GN driver (solver/
+    # device_loop.py) — the full deferred-LM accept/reject + forcing +
+    # stopping logic runs under lax.while_loop, one host sync per chunk.
+    # This is what solve_schur executes by default; its per-iteration
+    # wall time is the honest production step cost (the per-step-synced
+    # number above additionally pays one tunnel round trip per
+    # iteration, measured ~31 ms on this backend — bench_stepbreak.py).
+    t_dev = None
+    try:
+        import dataclasses as _dc
+
+        from fish_eye_bundle_adjustment_tpu.solver.device_loop import (
+            _make_chunk_fn, run_gn_loop_device,
+        )
+        from fish_eye_bundle_adjustment_tpu.solver.schur import (
+            SchurKernel, SchurOptions, schur_step_fn,
+        )
+
+        cap = 20
+        prob_dl = _dc.replace(
+            prob_tpu, settings=_dc.replace(
+                prob_tpu.settings, threshold=1e-12, iteration_cap=cap),
+        )
+        opts_dl = SchurOptions(
+            dtype=np.float32, cg_maxiter=10, cg_tol=1e-6, obs_order="tie"
+        )
+        kern_dl = SchurKernel(layout, opts_dl, obs_order="tie")
+        raw_dl = schur_step_fn(kern_dl, layout, False)
+        cfn = _make_chunk_fn(
+            raw_dl, opts_dl, prob_dl.settings, np.float32, opts_dl.device_chunk
+        )
+        run_gn_loop_device(  # compile
+            raw_dl, obs, layout, prob_dl, opts_dl, chunk_fn=cfn,
+            chunk=opts_dl.device_chunk,
+        )
+        out = run_gn_loop_device(  # warm
+            raw_dl, obs, layout, prob_dl, opts_dl, chunk_fn=cfn,
+            chunk=opts_dl.device_chunk,
+        )
+        n_it, t_loop = out[5], out[7]
+        t_dev = t_loop / max(n_it, 1)
+        print(
+            f"# TPU selfcal device-resident loop: {n_it} iters in "
+            f"{t_loop:.3f}s = {t_dev*1e3:.1f} ms/iter "
+            f"-> {prob_tpu.n_obs/t_dev:,.0f} obs/s",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# device-resident loop unavailable: {e}", file=sys.stderr)
+
     prob_eop = _build(*tpu_shape, selfcal=False)
     estep, ex0, eobs, _elay = _make_step(prob_eop, np.float32)
     t_eop = _time_steps(estep, ex0, eobs, np.float32, steps=args.steps)
@@ -246,16 +296,35 @@ def main(argv=None):
         print(f"# explicit-S path unavailable: {e}", file=sys.stderr)
         result_explicit_ms = None
 
-    result = {
-        "metric": "selfcal_schur_gn_step_observations_per_second",
-        "value": round(tpu_obs_s, 1),
-        "unit": "obs/s",
-        "vs_baseline": None,
-        "step_ms": round(t_step * 1e3, 2),
+    # Headline = the production device-resident loop when it ran (what
+    # solve_schur actually executes); the per-step-synced measurement is
+    # kept alongside as step_ms_synced for cross-round continuity.
+    if t_dev is not None:
+        head_obs_s = prob_tpu.n_obs / t_dev
+        result = {
+            "metric": "selfcal_schur_gn_step_observations_per_second",
+            "value": round(head_obs_s, 1),
+            "unit": "obs/s",
+            "vs_baseline": None,
+            "step_ms": round(t_dev * 1e3, 2),
+            "loop_mode": "device_resident",
+            "step_ms_synced": round(t_step * 1e3, 2),
+        }
+        tpu_obs_s = head_obs_s
+    else:
+        result = {
+            "metric": "selfcal_schur_gn_step_observations_per_second",
+            "value": round(tpu_obs_s, 1),
+            "unit": "obs/s",
+            "vs_baseline": None,
+            "step_ms": round(t_step * 1e3, 2),
+            "loop_mode": "host_synced",
+        }
+    result.update({
         "eop_tie_observations_per_second": round(eop_obs_s, 1),
         "eop_tie_step_ms": round(t_eop * 1e3, 2),
         "explicit_s_step_ms": result_explicit_ms,
-    }
+    })
 
     # f32 convergence at benchmark scale ----------------------------------
     # The throughput step caps CG at 10 iterations; converging the outer
@@ -264,10 +333,57 @@ def main(argv=None):
     # stalls at L1 ~ 1e3 — bench_f32_convergence.py; with 40 it converges
     # in ~14 GN iterations).  Build a dedicated 40-CG step for this.
     if not args.skip_convergence:
-        vstep, _, _, _ = _make_step(prob_tpu, np.float32, cg_maxiter=40)
-        iters, secs, sigma02, l1 = _converge(vstep, x0, obs, layout, np.float32)
-        it_s = iters / secs if secs > 0 else None
-        converged = l1 <= 3e-4 * layout.u and 0.8 < sigma02 < 1.2
+        converged = None
+        try:
+            # production path: the device-resident loop drives the
+            # 40-CG step to the f32 delta floor, one host sync per chunk
+            import dataclasses as _dc
+
+            from fish_eye_bundle_adjustment_tpu.solver.device_loop import (
+                _make_chunk_fn, run_gn_loop_device,
+            )
+            from fish_eye_bundle_adjustment_tpu.solver.schur import (
+                SchurKernel, SchurOptions, schur_step_fn,
+            )
+
+            prob_cv = _dc.replace(
+                prob_tpu, settings=_dc.replace(
+                    prob_tpu.settings,
+                    threshold=3e-4 * layout.u,  # f32 delta floor
+                    iteration_cap=60),
+            )
+            opts_cv = SchurOptions(
+                dtype=np.float32, cg_maxiter=40, cg_tol=1e-6,
+                obs_order="tie",
+            )
+            kern_cv = SchurKernel(layout, opts_cv, obs_order="tie")
+            raw_cv = schur_step_fn(kern_cv, layout, False)
+            cfn_cv = _make_chunk_fn(
+                raw_cv, opts_cv, prob_cv.settings, np.float32,
+                opts_cv.device_chunk,
+            )
+            run_gn_loop_device(  # compile
+                raw_cv, obs, layout, prob_cv, opts_cv, chunk_fn=cfn_cv,
+                chunk=opts_cv.device_chunk,
+            )
+            out = run_gn_loop_device(  # warm
+                raw_cv, obs, layout, prob_cv, opts_cv, chunk_fn=cfn_cv,
+                chunk=opts_cv.device_chunk,
+            )
+            _, _, dh, _, stats_cv, iters, conv_flag, secs, stop_cv = out
+            l1 = dh[-1] if dh else float("inf")
+            sigma02 = float(stats_cv[0]) / (prob_tpu.n - layout.u)
+            it_s = iters / secs if secs > 0 else None
+            converged = bool(conv_flag) and 0.8 < sigma02 < 1.2
+        except Exception as e:
+            print(f"# device-loop convergence failed ({e}); falling back "
+                  "to the host-stepped measurement", file=sys.stderr)
+            vstep, _, _, _ = _make_step(prob_tpu, np.float32, cg_maxiter=40)
+            iters, secs, sigma02, l1 = _converge(
+                vstep, x0, obs, layout, np.float32
+            )
+            it_s = iters / secs if secs > 0 else None
+            converged = l1 <= 3e-4 * layout.u and 0.8 < sigma02 < 1.2
         print(
             f"# convergence: {iters} GN iters in {secs:.1f}s "
             f"({it_s:.2f} it/s), sigma0^2={sigma02:.4f}, L1={l1:.3g} "

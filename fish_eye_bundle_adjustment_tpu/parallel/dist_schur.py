@@ -142,13 +142,32 @@ def solve_schur_distributed(
     mesh = mesh if mesh is not None else make_mesh()
     step, obs, layout, order = make_distributed_step(problem, mesh, opts)
 
-    (x, history, delta_history, v_shard, stats, count, converged, elapsed,
-     stopped_on) = run_gn_loop(
-        step, obs, layout, problem, opts,
-        keep_history=keep_history, x0=x0, progress_fn=progress_fn,
-        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
-        x_sharding=NamedSharding(mesh, P()),
-    )
+    use_device_loop = opts.device_loop
+    if use_device_loop is None:
+        use_device_loop = not keep_history
+    if use_device_loop and not keep_history:
+        # same SPMD step, driven on-device: the shard_map'd iteration
+        # runs in lockstep inside lax.while_loop on every device, one
+        # host sync per chunk (solver/device_loop.py)
+        from fish_eye_bundle_adjustment_tpu.solver.device_loop import (
+            run_gn_loop_device,
+        )
+
+        (x, history, delta_history, v_shard, stats, count, converged,
+         elapsed, stopped_on) = run_gn_loop_device(
+            step, obs, layout, problem, opts, x0=x0,
+            progress_fn=progress_fn, checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every, chunk=opts.device_chunk,
+        )
+    else:
+        (x, history, delta_history, v_shard, stats, count, converged,
+         elapsed, stopped_on) = run_gn_loop(
+            step, obs, layout, problem, opts,
+            keep_history=keep_history, x0=x0, progress_fn=progress_fn,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every,
+            x_sharding=NamedSharding(mesh, P()),
+        )
     v_np = unpermute_v(v_shard, order, problem.n_obs)
     result = _finalize(
         problem, layout, x, history, delta_history, v_np, np.asarray(stats),

@@ -445,13 +445,32 @@ def solve_schur_fused_sharded(
     opts = options or SchurOptions(dtype=np.float32)
     mesh = mesh if mesh is not None else make_mesh()
     step, data, layout, sp = make_fused_sharded_step(problem, mesh, opts)
-    (x, history, delta_history, v_shard, stats, count, converged, elapsed,
-     stopped_on) = run_gn_loop(
-        step, data, layout, problem, opts,
-        keep_history=keep_history, x0=x0, progress_fn=progress_fn,
-        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
-        x_sharding=NamedSharding(mesh, P()),
-    )
+    use_device_loop = opts.device_loop
+    if use_device_loop is None:
+        use_device_loop = not keep_history
+    if use_device_loop and not keep_history:
+        from fish_eye_bundle_adjustment_tpu.solver.device_loop import (
+            run_gn_loop_device,
+        )
+
+        (x, history, delta_history, v_shard, stats, count, converged,
+         elapsed, stopped_on) = run_gn_loop_device(
+            step, data, layout, problem, opts, x0=x0,
+            progress_fn=progress_fn, checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every, chunk=opts.device_chunk,
+            # residual rows are (n_shards, L, 2) in FusedShardData —
+            # the global padded row count is the product
+            n_pad=int(data.W.shape[0]) * int(data.W.shape[1]),
+        )
+    else:
+        (x, history, delta_history, v_shard, stats, count, converged,
+         elapsed, stopped_on) = run_gn_loop(
+            step, data, layout, problem, opts,
+            keep_history=keep_history, x0=x0, progress_fn=progress_fn,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every,
+            x_sharding=NamedSharding(mesh, P()),
+        )
     # report-order residual rows: pick each observation's owned copy
     v_flat = np.asarray(v_shard).reshape(-1, 2)
     v_np = v_flat[sp.owned_pos].reshape(-1)

@@ -254,7 +254,7 @@ def _make_chunk_fn(raw_step, opts, settings, dtype, chunk: int):
 def run_gn_loop_device(
     raw_step, obs, layout, problem, opts, x0=None, progress_fn=None,
     checkpoint_path=None, checkpoint_every: int = 1, chunk: int = 16,
-    chunk_fn=None,
+    chunk_fn=None, n_pad: Optional[int] = None,
 ):
     """Drop-in replacement for run_gn_loop running `chunk` GN iterations
     per host round trip.  Same return tuple:
@@ -265,7 +265,9 @@ def run_gn_loop_device(
     `chunk_fn` injects a prebuilt (already traced/compiled) chunk
     function from _make_chunk_fn — each call here otherwise builds a
     fresh jit closure, so repeated solves of the same shapes (benchmarks,
-    posegraph partitions) would recompile."""
+    posegraph partitions) would recompile.  `n_pad` overrides the
+    residual-row count for the v buffers (global padded rows for the
+    distributed steps whose data pytree is not row-major ObsData)."""
     settings = problem.settings
     dtype = opts.dtype
     sdt = jnp.dtype(dtype)
@@ -291,7 +293,8 @@ def run_gn_loop_device(
                 )
     watch = Stopwatch()
 
-    n_pad = obs.W.shape[0]
+    if n_pad is None:
+        n_pad = obs.W.shape[0]
     dbuf0 = np.full(10, np.inf, np.dtype(dtype))
     if delta_history:
         tail = delta_history[-10:]
