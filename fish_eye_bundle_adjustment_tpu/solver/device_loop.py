@@ -90,70 +90,103 @@ def _make_chunk_fn(raw_step, opts, settings, dtype, chunk: int):
             ri + 1,
         )
 
-    def accept(args):
-        """accept_pending(): the pending trial becomes the iterate.
+    def write_rec(recs, ri, do, kind, count, delta, lam, cg_tol):
+        """Masked record write: the row lands at the cursor either way
+        (kind=UNUSED when masked — overwritten by the next real event or
+        left as the terminator), the cursor advances only on real
+        events.  Branch-free on purpose: lax.cond around state updates
+        measured ~15 ms/iter of pure overhead on the chip (copies of the
+        big v/x buffers at every conditional boundary); where-merges cost
+        ~the buffer bandwidth instead."""
+        row = jnp.stack([
+            jnp.where(do, jnp.asarray(kind, sdt), REC_UNUSED),
+            jnp.asarray(count, jnp.int32).astype(sdt),
+            jnp.asarray(delta, sdt),
+            jnp.asarray(lam, sdt),
+            jnp.asarray(cg_tol, sdt),
+        ])
+        zero = jnp.asarray(0, ri.dtype)
+        recs = lax.dynamic_update_slice(recs, row[None, :], (ri, zero))
+        return recs, ri + do.astype(ri.dtype)
+
+    def apply_accept(st, recs, ri, do):
+        """accept_pending() as a where-merge: when `do` the pending
+        trial becomes the iterate (count, forcing tol, plateau buffer,
+        stopping checks all advance); otherwise state passes through.
         Mirrors run_gn_loop — convergence/cap/divergence checks run at
         acceptance time only."""
-        st, recs, ri = args
         delta = st["pend_delta"]
-        count = st["count"] + 1
+        count1 = st["count"] + 1
         # non-adaptive divergence detector (check_divergence): NaN/Inf
         # or a 1e6x blow-up over the best previous correction
         finite = jnp.isfinite(delta)
         blew_up = finite & (delta > 1e6 * st["run_min"])
         diverged = jnp.logical_and(
             not adaptive, jnp.logical_or(~finite, blew_up)
-        )
+        ) & do
         run_min = jnp.where(
-            finite, jnp.minimum(st["run_min"], delta), st["run_min"]
+            do & finite, jnp.minimum(st["run_min"], delta), st["run_min"]
         )
         # Eisenstat-Walker forcing from relative progress
-        delta0 = jnp.where(
+        delta0_new = jnp.where(
             st["delta0"] > 0, st["delta0"], jnp.maximum(delta, 1e-30)
         )
-        rel = delta / delta0
+        delta0 = jnp.where(do, delta0_new, st["delta0"])
+        rel = delta / delta0_new
         cg_tol = (
-            jnp.clip(rel * rel, tolmin, fmax).astype(sdt)
+            jnp.where(
+                do, jnp.clip(rel * rel, tolmin, fmax), st["cg_tol"]
+            ).astype(sdt)
             if forcing else st["cg_tol"]
         )
-        dbuf = jnp.concatenate([st["dbuf"][1:], delta[None].astype(sdt)])
+        dbuf_new = jnp.concatenate(
+            [st["dbuf"][1:], delta[None].astype(sdt)]
+        )
+        dbuf = jnp.where(do, dbuf_new, st["dbuf"])
         recs, ri = write_rec(
-            recs, ri, REC_ACCEPT, count, delta, st["lam"], cg_tol
+            recs, ri, do, REC_ACCEPT, count1, delta, st["lam"], cg_tol
         )
         # stopping decisions (at acceptance, as in accept_pending)
         lam_low = st["lam"] <= 1e-3
         conv_thr = (delta <= thr) & jnp.logical_or(not adaptive, lam_low)
-        last5, prev5 = dbuf[5:], dbuf[:5]
+        last5, prev5 = dbuf_new[5:], dbuf_new[:5]
         m_last = jnp.mean(last5)
         m_prev = jnp.mean(prev5)
         flat = (jnp.max(last5) - jnp.min(last5)) <= 0.02 * jnp.abs(m_last)
         improving = m_last < 0.98 * m_prev
         conv_plat = jnp.logical_and(
             plateau,
-            (count >= 10) & lam_low & flat & ~improving
-            & jnp.all(jnp.isfinite(dbuf)),
+            (count1 >= 10) & lam_low & flat & ~improving
+            & jnp.all(jnp.isfinite(dbuf_new)),
         )
-        status = jnp.where(
+        status_acc = jnp.where(
             diverged, DIVERGED,
             jnp.where(
                 conv_thr, CONV_THRESHOLD,
                 jnp.where(
                     conv_plat, CONV_PLATEAU,
-                    jnp.where(count >= cap, STOP_CAP, RUNNING),
+                    jnp.where(count1 >= cap, STOP_CAP, RUNNING),
                 ),
             ),
         ).astype(jnp.int32)
         st = dict(
-            st, x=st["pend_x"], v=st["pend_v"], stats=st["pend_stats"],
-            count=count, run_min=run_min, delta0=delta0, cg_tol=cg_tol,
-            dbuf=dbuf, status=status, have_pend=jnp.asarray(False),
+            st,
+            x=jnp.where(do, st["pend_x"], st["x"]),
+            v=jnp.where(do, st["pend_v"], st["v"]),
+            stats=jnp.where(do, st["pend_stats"], st["stats"]),
+            count=jnp.where(do, count1, st["count"]),
+            run_min=run_min, delta0=delta0, cg_tol=cg_tol, dbuf=dbuf,
+            status=jnp.where(do, status_acc, st["status"]).astype(
+                jnp.int32
+            ),
+            have_pend=st["have_pend"] & ~do,
         )
         return st, recs, ri
 
     @jax.jit
     def chunk_fn(st, obs):
         def body(carry):
-            st, recs, ri = carry
+            st, recs, ri, k = carry
             x_in = jnp.where(st["have_pend"], st["pend_x"], st["x"])
             x_trial, dsum, v_trial, stats_t, _ = raw_step(
                 x_in, obs, st["cg_tol"], st["lam"]
@@ -191,14 +224,9 @@ def _make_chunk_fn(raw_step, opts, settings, dtype, chunk: int):
                     jnp.where(validating, jnp.asarray(2.0, sdt), st["nu"]),
                 ).astype(sdt)
                 diverged = rejected & (lam > max_damping)
-                recs, ri = lax.cond(
-                    rejected,
-                    lambda ops: write_rec(
-                        ops[0], ops[1], REC_REJECT, st["count"],
-                        st["pend_delta"], lam, st["cg_tol"],
-                    ),
-                    lambda ops: ops,
-                    (recs, ri),
+                recs, ri = write_rec(
+                    recs, ri, rejected, REC_REJECT, st["count"],
+                    st["pend_delta"], lam, st["cg_tol"],
                 )
                 st = dict(
                     st, lam=lam, nu=nu,
@@ -211,42 +239,55 @@ def _make_chunk_fn(raw_step, opts, settings, dtype, chunk: int):
                 )
 
             # the surviving pending trial becomes the iterate
-            st, recs, ri = lax.cond(
-                st["have_pend"] & (st["status"] == RUNNING),
-                accept, lambda a: a, (st, recs, ri),
+            st, recs, ri = apply_accept(
+                st, recs, ri, st["have_pend"] & (st["status"] == RUNNING)
             )
 
             # stage this step's trial as the new pending iterate
-            def do_stage(args):
-                st, recs, ri = args
-                st = dict(
-                    st, pend_x=x_trial, pend_cost=cost_here,
-                    pend_model=stats_t[0], pend_delta=dsum,
-                    pend_v=v_trial, pend_stats=stats_t,
-                    have_pend=jnp.asarray(True),
-                )
-                # immediate acceptance: pure-GN mode always, or a tiny
-                # trial (at the fixed point damped and undamped
-                # corrections coincide)
-                if adaptive:
-                    immediate = jnp.isfinite(dsum) & (dsum <= thr)
-                else:
-                    immediate = jnp.asarray(True)
-                return lax.cond(immediate, accept, lambda a: a,
-                                (st, recs, ri))
-
             stage = (st["status"] == RUNNING) & ~rejected
-            return lax.cond(stage, do_stage, lambda a: a, (st, recs, ri))
+            st = dict(
+                st,
+                pend_x=jnp.where(stage, x_trial, st["pend_x"]),
+                pend_cost=jnp.where(stage, cost_here, st["pend_cost"]),
+                pend_model=jnp.where(stage, stats_t[0], st["pend_model"]),
+                pend_delta=jnp.where(stage, dsum, st["pend_delta"]),
+                pend_v=jnp.where(stage, v_trial, st["pend_v"]),
+                pend_stats=jnp.where(stage, stats_t, st["pend_stats"]),
+                have_pend=st["have_pend"] | stage,
+            )
+            # immediate acceptance: pure-GN mode always, or a tiny trial
+            # (at the fixed point damped and undamped corrections
+            # coincide)
+            if adaptive:
+                immediate = stage & jnp.isfinite(dsum) & (dsum <= thr)
+            else:
+                immediate = stage
+            st, recs, ri = apply_accept(st, recs, ri, immediate)
+            return st, recs, ri, k + 1
 
         def cond(carry):
-            st, _, ri = carry
-            # each body iteration writes at most 2 records
-            return (st["status"] == RUNNING) & (ri < nrec - 1)
+            st, _, ri, k = carry
+            # each body iteration writes at most 2 records; nrec bounds
+            # the buffer even when rejections double the event rate
+            return (
+                (st["status"] == RUNNING) & (k < chunk) & (ri < nrec - 1)
+            )
 
         recs = jnp.zeros((nrec, 5), sdt)
         ri = jnp.asarray(0, jnp.int32)
-        st, recs, _ = lax.while_loop(cond, body, (st, recs, ri))
-        return st, recs
+        st, recs, _, _ = lax.while_loop(
+            cond, body, (st, recs, ri, jnp.asarray(0, jnp.int32))
+        )
+        # pack EVERYTHING the host reads per chunk into one array: each
+        # separate device->host read costs a full tunnel round trip
+        # (~31 ms measured), so recs/status/count must arrive together
+        packed = jnp.concatenate([
+            recs.reshape(-1).astype(jnp.float32),
+            st["status"].astype(jnp.float32)[None],
+            st["count"].astype(jnp.float32)[None],
+            st["pend_delta"].astype(jnp.float32)[None],
+        ])
+        return st, packed
 
     return chunk_fn
 
@@ -325,11 +366,19 @@ def run_gn_loop_device(
     if chunk_fn is None:
         chunk_fn = _make_chunk_fn(raw_step, opts, settings, dtype, chunk)
 
+    nrec = 2 * chunk + 2
     status = RUNNING
-    while status == RUNNING:
-        st, recs = chunk_fn(st, obs)
-        recs = np.asarray(recs, np.float64)
-        status = int(st["status"])
+    # Speculative pipelining: the NEXT chunk is enqueued before this
+    # chunk's packed result is read, so the device->host round trip
+    # hides behind device execution.  A chunk launched on a finished
+    # state is free — its while-cond sees status != RUNNING and exits
+    # without running a single step — so over-speculation costs nothing.
+    st, packed = chunk_fn(st, obs)
+    while True:
+        st_next, packed_next = chunk_fn(st, obs)  # speculative
+        arr = np.asarray(packed, np.float64)  # ONE host sync per chunk
+        recs = arr[: nrec * 5].reshape(nrec, 5)
+        status = int(arr[-3])
         lap = watch.lap()
         n_events = int(np.sum(recs[:, 0] != REC_UNUSED))
         n_accepts = int(np.sum(recs[:, 0] == REC_ACCEPT))
@@ -349,12 +398,9 @@ def run_gn_loop_device(
                     int(cnt), float(delta), per, float(ctol),
                     accepted=False, damping=float(lam),
                 ))
-        count = int(st["count"])
+        count = int(arr[-2])
         if status == DIVERGED:
-            bad = (
-                float(recs[n_events - 1][2]) if n_events
-                else float(st["pend_delta"])
-            )
+            bad = float(recs[n_events - 1][2]) if n_events else float(arr[-1])
             raise SolverDivergence(count + 1, bad, delta_history)
         if checkpoint_path is not None and n_accepts and (
             count // checkpoint_every
@@ -369,6 +415,11 @@ def run_gn_loop_device(
                           ckpt_mod.problem_fingerprint(problem).items()},
                 ),
             )
+        if status != RUNNING:
+            # st is the terminal state; the speculative chunk was a
+            # no-op pass-through of it
+            break
+        st, packed = st_next, packed_next
 
     elapsed = time.perf_counter() - t0
     converged = status in (CONV_THRESHOLD, CONV_PLATEAU)
